@@ -1,0 +1,385 @@
+"""Shared UNet building blocks (flax.linen), channels-last.
+
+These rebuild — TPU-first, inference-only — the diffusers blocks the reference
+leans on (SURVEY.md §2.9): ResnetBlock2D, TemporalConvLayer,
+Transformer2DModel ("spatial transformer"), TransformerTemporalModel, and the
+sinusoidal/MLP timestep embeddings. Layout conventions:
+
+- spatial tensors  [(B·F), H, W, C]   (frames folded into batch — the same
+  trick the reference uses, ``videoldm_unet.py:720``, ``seine/models/resnet.py:14-22``,
+  but as static reshapes under jit)
+- temporal tensors [B, F, H, W, C]    (unfolded only inside temporal layers)
+
+PnP injection is an explicit traced-bool operand (``inject``), not a hook:
+see ``anyv2v_tpu.ops.pnp``. Injection points match the reference exactly —
+ResnetBlock2D injects after conv2 / before the shortcut add
+(``i2vgen-xl/pnp_utils.py:107-124``); attention injects Q and K, not V
+(``pnp_utils.py:189-196``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+from ..ops.pnp import inject_source_rows
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_embedding(
+    timesteps: jax.Array,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jax.Array:
+    """diffusers ``Timesteps`` / ``get_timestep_embedding`` (fp32)."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> silu -> linear (diffusers ``TimestepEmbedding``)."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Resnet
+# ---------------------------------------------------------------------------
+
+
+class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D (default time_embedding_norm): the PnP conv
+    injection point lives after conv2, before the shortcut add
+    (``pnp_utils.py:107-124``)."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: Optional[jax.Array] = None,
+        inject: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+
+        if temb is not None:
+            temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + temb[:, None, None, :]
+
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+
+        if inject is not None:
+            h = inject_source_rows(h, inject, self.pnp_chunks)
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class TemporalConvLayer(nn.Module):
+    """diffusers ``TemporalConvLayer``: four (groupnorm -> silu -> conv3d
+    (3,1,1)) blocks with an identity residual; the last conv is zero-init so
+    the layer starts as identity. Operates on [B, F, H, W, C]."""
+
+    channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        identity = x
+        h = x
+        for i in range(4):
+            h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name=f"norm{i+1}")(h)
+            h = nn.silu(h).astype(self.dtype)
+            h = nn.Conv(
+                self.channels,
+                (3, 1, 1),
+                padding=((1, 1), (0, 0), (0, 0)),
+                dtype=self.dtype,
+                kernel_init=nn.initializers.zeros if i == 3 else nn.initializers.lecun_normal(),
+                name=f"conv{i+1}",
+            )(h)
+        return identity + h
+
+
+# ---------------------------------------------------------------------------
+# Attention / transformer blocks
+# ---------------------------------------------------------------------------
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional PnP Q/K source-substitution and
+    optional Q/K transform (rotary) and additive bias (T5 rel-pos)."""
+
+    heads: int
+    head_dim: int
+    cross_attention_dim: Optional[int] = None  # None -> self-attention module
+    out_dim: Optional[int] = None
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        inject: Optional[jax.Array] = None,
+        qk_transform: Optional[Callable[[jax.Array, bool], jax.Array]] = None,
+        bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.head_dim
+        out_dim = self.out_dim or x.shape[-1]
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
+
+        if inject is not None:
+            # reference pnp_utils.py:189-196 — Q and K only, never V
+            q = inject_source_rows(q, inject, self.pnp_chunks)
+            k = inject_source_rows(k, inject, self.pnp_chunks)
+
+        if qk_transform is not None:
+            q = qk_transform(q, True)
+            k = qk_transform(k, False)
+
+        out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers default for these UNets)."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+    activation: str = "geglu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        if self.activation == "geglu":
+            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate)
+        elif self.activation == "gelu":
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x))
+        else:
+            raise ValueError(self.activation)
+        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """norm1 -> attn1(self) -> norm2 -> attn2(cross) -> norm3 -> ff.
+
+    ``inject`` reaches attn1 only (the reference registers PnP processors on
+    ``attn1`` exclusively — ``pnp_utils.py:235-243``)."""
+
+    heads: int
+    head_dim: int
+    cross_attention_dim: Optional[int] = None
+    only_self_attention: bool = False
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        inject: Optional[jax.Array] = None,
+        qk_transform: Optional[Callable] = None,
+        bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + Attention(
+            self.heads, self.head_dim, dtype=self.dtype, pnp_chunks=self.pnp_chunks,
+            name="attn1",
+        )(h, inject=inject, qk_transform=qk_transform, bias=bias)
+
+        if not self.only_self_attention:
+            h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+            x = x + Attention(
+                self.heads,
+                self.head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                name="attn2",
+            )(h, context=context)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """diffusers Transformer2DModel over [(B·F), H, W, C]: groupnorm ->
+    1x1-conv proj_in -> blocks on flattened tokens -> proj_out -> residual."""
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    cross_attention_dim: Optional[int] = None
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        inject: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, h_, w_, c = x.shape
+        inner = self.heads * self.head_dim
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
+        h = h.reshape(b, h_ * w_, inner)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads,
+                self.head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                pnp_chunks=self.pnp_chunks,
+                name=f"blocks_{i}",
+            )(h, context=context, inject=inject)
+        h = h.reshape(b, h_, w_, inner)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class TemporalTransformer(nn.Module):
+    """diffusers TransformerTemporalModel over [B, F, H, W, C]: tokens are
+    frames per (batch, pixel); groupnorm -> linear proj_in -> blocks ->
+    linear proj_out -> residual."""
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    cross_attention_dim: Optional[int] = None
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        inject: Optional[jax.Array] = None,
+        qk_transform: Optional[Callable] = None,
+        bias: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b, f, h_, w_, c = x.shape
+        inner = self.heads * self.head_dim
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(
+            x.reshape(b * f, h_, w_, c)
+        ).astype(self.dtype)
+        # [(B F), H, W, C] -> [(B H W), F, C]
+        h = h.reshape(b, f, h_ * w_, c).transpose(0, 2, 1, 3).reshape(b * h_ * w_, f, c)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.heads,
+                self.head_dim,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                pnp_chunks=self.pnp_chunks,
+                name=f"blocks_{i}",
+            )(h, context=context, inject=inject, qk_transform=qk_transform, bias=bias)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        h = h.reshape(b, h_ * w_, f, c).transpose(0, 2, 1, 3).reshape(b, f, h_, w_, c)
+        return h + residual
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+# ---------------------------------------------------------------------------
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+def adaptive_avg_pool_2d(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """torch ``AdaptiveAvgPool2d`` for channels-last [B, H, W, C].
+
+    Exact reshape-mean when evenly divisible (the 64x64 -> 32x32 case at
+    512^2 latents); area-resize approximation otherwise (non-divisible bins
+    only occur at exotic resolutions)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    if h % oh == 0 and w % ow == 0:
+        return x.reshape(b, oh, h // oh, ow, w // ow, c).mean(axis=(2, 4))
+    return jax.image.resize(x, (b, oh, ow, c), "linear")
+
+
+def fold_frames(x: jax.Array) -> jax.Array:
+    """[B, F, H, W, C] -> [(B F), H, W, C]"""
+    b, f, h, w, c = x.shape
+    return x.reshape(b * f, h, w, c)
+
+
+def unfold_frames(x: jax.Array, num_frames: int) -> jax.Array:
+    """[(B F), H, W, C] -> [B, F, H, W, C]"""
+    bf, h, w, c = x.shape
+    return x.reshape(bf // num_frames, num_frames, h, w, c)
