@@ -1,0 +1,338 @@
+"""I2VGen-XL AnyV2V pipeline: jitted DDIM inversion + PnP editing scans.
+
+Replaces the reference's ``I2VGenXLPipeline.{invert, sample_with_pnp,
+__call__}`` drivers (``i2vgen-xl/pipelines/pipeline_i2vgen_xl.py:1195/890/652``)
+with two ``lax.scan`` programs:
+
+- the per-step ``torch.save``/``torch.load`` latent-cache filesystem bus
+  (``:1424-1428`` / ``:1134``) becomes a trajectory array resident in HBM,
+  gathered per step by index;
+- the per-step ``register_time`` + monkey-patched hooks (``:1143``,
+  ``pnp_utils.py``) become boolean per-step injection vectors scanned
+  alongside the timesteps;
+- CFG batch layout matches the reference exactly (``:1135-1165``):
+  rows = [src, x, x]; context rows = [inv_prompt, negative, edit]; image
+  conditioning rows = [source 1st frame, edited, edited] (``:1040-1094``);
+  eps = eps_neg + cfg * (eps_edit - eps_neg), src row discarded.
+
+Precision policy (validated in tests/verification): scan carries and the
+trajectory cache are fp32; the UNet computes in its configured dtype (bf16 on
+TPU). The reference runs fp16 end-to-end and tolerates drift only because
+sampling restarts from a *cached* latent — we keep that property and remove
+the drift.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIPTextModel, CLIPVisionModel
+from ..models.unet_i2vgen import I2VGenUNet, PnPFlags
+from ..models.vae import AutoencoderKL, sample_from_moments
+from ..schedulers import (
+    DiffusionSchedule,
+    ddim_inverse_step,
+    ddim_step,
+    inversion_timesteps,
+    sampling_timesteps,
+)
+from ..ops.pnp import injection_step_mask
+
+
+@dataclasses.dataclass
+class PnPConfig:
+    """pnp_f_t / pnp_spatial_attn_t / pnp_temp_attn_t thresholds
+    (reference ``group_pnp_edit/template.yaml:36-38`` defaults)."""
+
+    conv: float = 0.2
+    spatial: float = 0.2
+    temporal: float = 0.5
+
+
+@dataclasses.dataclass
+class I2VGenPipeline:
+    """Module bundle + compiled drivers. Params are a single dict with keys
+    ``unet / vae / text / vision`` (each a flax variables dict)."""
+
+    unet: I2VGenUNet
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    vision_encoder: CLIPVisionModel
+    schedule: DiffusionSchedule
+    params: Dict[str, Any]
+    cache_dtype: jnp.dtype = jnp.float32
+
+    # ------------------------------------------------------------------
+    # encoders
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def _encode_frames(self):
+        @jax.jit
+        def fn(params, frames01):
+            """[N, H, W, 3] in [0,1] -> scaled latents [N, h, w, 4] (mode)."""
+            x = frames01 * 2.0 - 1.0
+            moments = self.vae.apply(params["vae"], x, method="encode_moments")
+            z = sample_from_moments(moments)
+            return z.astype(jnp.float32) * self.vae.config.scaling_factor
+
+        return fn
+
+    def encode_video(self, frames01: jax.Array) -> jax.Array:
+        """[F, H, W, 3] -> [1, F, h, w, 4] (reference ``encode_vae_video``,
+        per-frame loop at ``pipeline_i2vgen_xl.py:565-592`` -> one batch)."""
+        return self._encode_frames(self.params, frames01)[None]
+
+    def prepare_image_latents(self, image01: jax.Array, num_frames: int) -> jax.Array:
+        """Conditioning-frame latent + (F-1) position-mask frames scaled
+        (i+1)/(F-1) (reference ``prepare_image_latents``,
+        ``pipeline_i2vgen_xl.py:532-562``). Returns [1, F, h, w, 4]."""
+        z = self._encode_frames(self.params, image01[None])  # [1, h, w, 4]
+        h, w, c = z.shape[1:]
+        masks = [
+            jnp.full((1, h, w, c), (i + 1) / (num_frames - 1), jnp.float32)
+            for i in range(num_frames - 1)
+        ]
+        return jnp.stack([z[0], *[m[0] for m in masks]], axis=0)[None]
+
+    def encode_image_clip(self, image_clip: jax.Array) -> jax.Array:
+        """CLIP-normalized [1, 224, 224, 3] -> [1, 1, proj_dim]
+        (reference ``_encode_image``, ``pipeline_i2vgen_xl.py:411``)."""
+        _, embeds = self.vision_encoder.apply(self.params["vision"], image_clip)
+        return embeds[:, None, :]
+
+    def encode_text(self, input_ids: jax.Array) -> jax.Array:
+        """token ids [B, S] -> last_hidden_state [B, S, D]
+        (reference ``encode_prompt``, ``pipeline_i2vgen_xl.py:224``)."""
+        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
+        return hidden
+
+    # ------------------------------------------------------------------
+    # inversion
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def _invert(self):
+        @jax.jit
+        def fn(params, video_latents, text_embeds, image_latents, image_embeds,
+               inv_ts, fps):
+            n_steps = inv_ts.shape[0]
+
+            def body(x, t):
+                eps = self.unet.apply(
+                    params["unet"],
+                    sample=x,
+                    timestep=t,
+                    encoder_hidden_states=text_embeds,
+                    fps=fps,
+                    image_latents=image_latents,
+                    image_embeddings=image_embeds,
+                )
+                x_next = ddim_inverse_step(
+                    self.schedule, x, eps.astype(jnp.float32), t, n_steps
+                )
+                return x_next, x_next.astype(self.cache_dtype)
+
+            _, traj = jax.lax.scan(body, video_latents.astype(jnp.float32), inv_ts)
+            return traj  # [n_steps, 1, F, h, w, 4] ascending-t order
+
+        return fn
+
+    def invert(
+        self,
+        video_latents: jax.Array,     # [1, F, h, w, 4] clean scaled latents
+        text_embeds: jax.Array,       # [1, S, D] (empty prompt for inversion)
+        image_latents: jax.Array,     # [1, F, h, w, 4] src-frame conditioning
+        image_embeds: jax.Array,      # [1, 1, D]
+        num_inversion_steps: int = 500,
+        fps: int = 8,
+    ):
+        """Returns (trajectory [n, 1, F, h, w, 4], ascending timesteps [n]).
+
+        Reference: 500 UNet forwards at batch 1, cfg 1.0, empty prompt
+        (``template.yaml:29-33``; hot loop ``pipeline_i2vgen_xl.py:1385-1433``).
+        """
+        inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
+        traj = self._invert(
+            self.params, video_latents, text_embeds, image_latents, image_embeds,
+            jnp.asarray(inv_ts, jnp.int32), jnp.int32(fps),
+        )
+        return traj, inv_ts
+
+    # ------------------------------------------------------------------
+    # PnP editing / plain sampling
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def _sample_pnp(self):
+        @jax.jit
+        def fn(params, init_latent, traj, text_embeds_all, image_latents_all,
+               image_embeds_all, fps3, step_data, cfg):
+            def body(x, step):
+                t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp = step
+                src = jax.lax.dynamic_index_in_dim(
+                    traj, cache_i, axis=0, keepdims=False
+                ).astype(jnp.float32)
+                inp = jnp.concatenate([src, x, x], axis=0)
+                eps3 = self.unet.apply(
+                    params["unet"],
+                    sample=inp,
+                    timestep=t,
+                    encoder_hidden_states=text_embeds_all,
+                    fps=fps3,
+                    image_latents=image_latents_all,
+                    image_embeddings=image_embeds_all,
+                    pnp=PnPFlags(conv=inj_conv, spatial=inj_sp, temporal=inj_tmp),
+                ).astype(jnp.float32)
+                _eps_src, eps_neg, eps_edit = jnp.split(eps3, 3, axis=0)
+                eps = eps_neg + cfg * (eps_edit - eps_neg)
+                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
+            return out
+
+        return fn
+
+    def sample_with_pnp(
+        self,
+        traj: jax.Array,               # inversion trajectory (ascending t)
+        inv_ts: np.ndarray,            # its timesteps
+        text_embeds_all: jax.Array,    # [3, S, D]: [inv_prompt, negative, edit]
+        image_latents_all: jax.Array,  # [3, F, h, w, 4]: [src, edited, edited]
+        image_embeds_all: jax.Array,   # [3, 1, D]:       [src, edited, edited]
+        num_inference_steps: int = 50,
+        t_idx: int = 0,                # ddim_init_latents_t_idx
+        guidance_scale: float = 9.0,
+        pnp: Optional[PnPConfig] = None,
+        fps: int = 8,
+        init_latent: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """PnP editing loop (reference ``sample_with_pnp``,
+        ``pipeline_i2vgen_xl.py:890``; driver ``run_group_pnp_edit.py:59``).
+
+        Starts from the cached inverted latent at ``timesteps[t_idx]`` (or an
+        explicit ``init_latent``, e.g. blended with noise by ``random_ratio``),
+        runs the truncated grid ``timesteps[t_idx:]``, injecting source
+        conv/attention features per the PnP threshold schedules.
+        """
+        pnp = pnp or PnPConfig()
+        ts = sampling_timesteps(self.schedule, num_inference_steps)
+
+        # per-step injection masks on the FULL grid, then truncate — matches
+        # init_pnp slicing scheduler.timesteps[:k] (run_group_pnp_edit.py:36-45)
+        m_conv = injection_step_mask(ts, pnp.conv, num_inference_steps)[t_idx:]
+        m_sp = injection_step_mask(ts, pnp.spatial, num_inference_steps)[t_idx:]
+        m_tmp = injection_step_mask(ts, pnp.temporal, num_inference_steps)[t_idx:]
+
+        ts_run = ts[t_idx:]
+        step_ratio = self.schedule.num_train_timesteps // num_inference_steps
+        ts_prev = ts_run - step_ratio
+
+        # map each sampling timestep to its inversion-trajectory row
+        t_to_row = {int(t): i for i, t in enumerate(inv_ts)}
+        try:
+            cache_idx = np.array([t_to_row[int(t)] for t in ts_run], np.int32)
+        except KeyError as e:
+            raise ValueError(
+                f"sampling timestep {e} not on the inversion grid; invert with "
+                f"a step count that is a multiple of {num_inference_steps}"
+            ) from None
+
+        if init_latent is None:
+            init_latent = traj[cache_idx[0]]
+
+        step_data = (
+            jnp.asarray(ts_run, jnp.int32),
+            jnp.asarray(ts_prev, jnp.int32),
+            jnp.asarray(cache_idx, jnp.int32),
+            jnp.asarray(m_conv),
+            jnp.asarray(m_sp),
+            jnp.asarray(m_tmp),
+        )
+        fps3 = jnp.full((3,), fps, jnp.int32)
+        return self._sample_pnp(
+            self.params, init_latent, traj, text_embeds_all, image_latents_all,
+            image_embeds_all, fps3, step_data, jnp.float32(guidance_scale),
+        )
+
+    @cached_property
+    def _sample_plain(self):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("do_cfg",))
+        def fn(params, init_latent, text_embeds_all, image_latents_all,
+               image_embeds_all, fps_n, step_data, cfg, *, do_cfg):
+            def body(x, step):
+                t, t_prev = step
+                inp = jnp.concatenate([x, x], axis=0) if do_cfg else x
+                eps = self.unet.apply(
+                    params["unet"],
+                    sample=inp,
+                    timestep=t,
+                    encoder_hidden_states=text_embeds_all,
+                    fps=fps_n,
+                    image_latents=image_latents_all,
+                    image_embeddings=image_embeds_all,
+                ).astype(jnp.float32)
+                if do_cfg:
+                    eps_neg, eps_cond = jnp.split(eps, 2, axis=0)
+                    eps = eps_neg + cfg * (eps_cond - eps_neg)
+                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
+            return out
+
+        return fn
+
+    def sample(
+        self,
+        init_latent: jax.Array,        # [1, F, h, w, 4] (e.g. cached inverted)
+        text_embeds_all: jax.Array,    # [2B or B, S, D] ([neg, cond] if cfg)
+        image_latents_all: jax.Array,
+        image_embeds_all: jax.Array,
+        num_inference_steps: int = 50,
+        t_idx: int = 0,
+        guidance_scale: float = 9.0,
+        fps: int = 8,
+    ) -> jax.Array:
+        """Vanilla DDIM sampling (reference ``__call__`` /
+        the reconstruction oracle in ``run_group_ddim_inversion.py:159-192``)."""
+        do_cfg = guidance_scale > 1.0
+        ts = sampling_timesteps(self.schedule, num_inference_steps)[t_idx:]
+        step_ratio = self.schedule.num_train_timesteps // num_inference_steps
+        step_data = (jnp.asarray(ts, jnp.int32), jnp.asarray(ts - step_ratio, jnp.int32))
+        n = 2 if do_cfg else 1
+        fps_n = jnp.full((n,), fps, jnp.int32)
+        return self._sample_plain(
+            self.params, init_latent, text_embeds_all, image_latents_all,
+            image_embeds_all, fps_n, step_data, jnp.float32(guidance_scale),
+            do_cfg=do_cfg,
+        )
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def _decode(self):
+        @jax.jit
+        def fn(params, latents):
+            z = latents / self.vae.config.scaling_factor
+            img = self.vae.apply(params["vae"], z, method="decode")
+            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        return fn
+
+    def decode_latents(self, latents: jax.Array) -> jax.Array:
+        """[1, F, h, w, 4] -> video [F, H, W, 3] in [0, 1] (reference
+        ``decode_latents`` chunked loop, ``pipeline_i2vgen_xl.py:443-456`` —
+        frames are batch here)."""
+        return self._decode(self.params, latents[0])

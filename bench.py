@@ -1,0 +1,120 @@
+"""Benchmark: 16-frame 512^2 AnyV2V invert + PnP-edit wall-clock on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ratio}
+
+The workload is the BASELINE.json headline (SURVEY.md §6): i2vgen-xl
+DDIM inversion (500 UNet forwards, batch 1) + PnP edit (50 forwards, batch 3)
++ 17 VAE encodes + 16 decodes at 16 frames, 512^2, bf16 UNet / fp32 scans.
+
+Default mode measures warm per-step costs on short scans and projects the
+500/50-step total (exact per-step extrapolation is sound: the scan body is a
+single compiled program whose cost is step-invariant). Set BENCH_FULL=1 to
+run the true 500+50 step workload.
+
+``vs_baseline`` = baseline_seconds / value, where baseline_seconds = 60.0 is
+the driver-set v5e-8 target (BASELINE.json "north_star"); > 1.0 beats the
+target on a SINGLE chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 60.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from anyv2v_tpu.utils.model_zoo import build_i2vgen_pipeline
+
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    n_frames, hw = 16, (512, 512)
+    arch = os.environ.get("BENCH_ARCH", "i2vgen-xl")
+
+    pipe = build_i2vgen_pipeline(
+        arch=arch, init="random", dtype=jnp.bfloat16,
+        sample_hw=hw, num_frames=n_frames,
+    )
+    D = pipe.unet.config.cross_attention_dim
+    h = hw[0] // 8
+    rng = np.random.RandomState(0)
+
+    frames01 = jnp.asarray(rng.rand(n_frames, hw[0], hw[1], 3).astype(np.float32))
+    text = jnp.asarray(rng.randn(1, 77, D).astype(np.float32) * 0.02)
+    img_emb = jnp.asarray(rng.randn(1, 1, D).astype(np.float32) * 0.02)
+
+    # --- VAE: 16-frame encode + first-frame conditioning (17 encodes total),
+    #     16-frame decode --------------------------------------------------
+    t0 = time.perf_counter()
+    latents = pipe.encode_video(frames01)
+    img_lat = pipe.prepare_image_latents(frames01[0], n_frames)
+    jax.block_until_ready((latents, img_lat))
+    _vae_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    latents = pipe.encode_video(frames01)
+    img_lat = pipe.prepare_image_latents(frames01[0], n_frames)
+    jax.block_until_ready((latents, img_lat))
+    t_vae_encode = time.perf_counter() - t0
+
+    video = pipe.decode_latents(latents)
+    jax.block_until_ready(video)
+    t0 = time.perf_counter()
+    video = pipe.decode_latents(latents)
+    jax.block_until_ready(video)
+    t_vae_decode = time.perf_counter() - t0
+
+    # --- inversion ---------------------------------------------------------
+    n_inv_measure = 500 if full else 20
+    # warm compile
+    traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=n_inv_measure)
+    jax.block_until_ready(traj)
+    t0 = time.perf_counter()
+    traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=n_inv_measure)
+    jax.block_until_ready(traj)
+    t_inv = time.perf_counter() - t0
+    t_invert_total = t_inv if full else t_inv * (500 / n_inv_measure)
+
+    # --- PnP edit ----------------------------------------------------------
+    n_edit_measure = 50 if full else 10
+    text3 = jnp.tile(text, (3, 1, 1))
+    img_lat3 = jnp.tile(img_lat, (3, 1, 1, 1, 1))
+    img_emb3 = jnp.tile(img_emb, (3, 1, 1))
+    out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
+                               num_inference_steps=n_edit_measure)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
+                               num_inference_steps=n_edit_measure)
+    jax.block_until_ready(out)
+    t_edit = time.perf_counter() - t0
+    t_edit_total = t_edit if full else t_edit * (50 / n_edit_measure)
+
+    total = t_invert_total + t_edit_total + t_vae_encode + t_vae_decode
+    print(json.dumps({
+        "metric": "16f 512^2 i2vgen-xl invert(500)+pnp-edit(50) wall-clock, 1 chip"
+                  + ("" if full else " (projected from warm short scans)"),
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / total, 4),
+        "detail": {
+            "invert_s": round(t_invert_total, 3),
+            "edit_s": round(t_edit_total, 3),
+            "vae_encode_s": round(t_vae_encode, 3),
+            "vae_decode_s": round(t_vae_decode, 3),
+            "device": str(jax.devices()[0]),
+            "mode": "full" if full else "projected",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Pallas flash attention vs XLA reference — interpret mode on the CPU mesh,
+compiled on real TPU (same code path, SURVEY.md §4 kernel-test plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anyv2v_tpu.ops.attention import multi_head_attention
+from anyv2v_tpu.ops.pallas_attention import flash_attention_bshd
+
+
+def _ref(q, k, v, bias=None, scale=None):
+    return jax.nn.dot_product_attention(q, k, v, bias=bias, scale=scale,
+                                        implementation="xla")
+
+
+@pytest.mark.parametrize("sq,sk", [(128, 128), (256, 256), (100, 100), (64, 200)])
+def test_flash_matches_xla(sq, sk):
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(rng.randn(b, sq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, sk, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, sk, h, d).astype(np.float32))
+    got = flash_attention_bshd(q, k, v)
+    want = _ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4)
+
+
+def test_flash_with_bias():
+    rng = np.random.RandomState(1)
+    b, h, s, d = 1, 2, 128, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32))
+    bias = jnp.asarray(rng.randn(b, h, s, s).astype(np.float32))
+    got = flash_attention_bshd(q, k, v, bias=bias)
+    want = _ref(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4)
+
+
+def test_flash_custom_scale_and_bf16():
+    rng = np.random.RandomState(2)
+    b, h, s, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, s, h, d).astype(np.float32)).astype(jnp.bfloat16)
+    got = flash_attention_bshd(q, k, v, scale=0.25)
+    want = _ref(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                scale=0.25)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_multi_head_attention_pallas_backend():
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 130, 128).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 70, 128).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 70, 128).astype(np.float32))
+    got = multi_head_attention(q, k, v, heads=2, backend="pallas")
+    want = multi_head_attention(q, k, v, heads=2, backend="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4)
