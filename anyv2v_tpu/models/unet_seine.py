@@ -1,0 +1,272 @@
+"""SEINE UNet: SD1.4 inflated to 3D, 9-channel masked-video conditioning.
+
+Rebuilds the reference ``seine/models/unet.py`` (``UNet3DConditionModel``,
+:98) and its attention stack (``seine/models/attention.py``):
+
+- input = concat([x(4), mask(1), masked_video_latent(4)]) -> 9 channels
+  (``from_pretrained_2d`` sets in_channels=9 when use_concat, ``:540-605``;
+  concat built in the run scripts, ``run_pnp_edit.py:183-187``);
+- all convs are ``InflatedConv3d`` = 2D conv applied per frame
+  (``seine/models/resnet.py:13-22``) — here frames fold into batch;
+- each transformer block: spatial self attn1 -> cross attn2 -> temporal
+  attn_temp over [(B HW), F, C] with T5 relative-position bias
+  (max_distance=32) added to scaled scores (``attention.py:813-815, 880-917``)
+  -> GEGLU ff (block order at ``attention.py:568-647``);
+- no temporal convs, no fps/image embeddings (unlike i2vgen-xl).
+
+PnP injection (``seine/pnp_utils.py``) has FOUR families: conv
+(up_blocks[1].resnets[1], :153-201), spatial attn1, cross attn2
+(threshold 0.0 by default, :298-374), temporal attn_temp (:376-457), on the
+up-block res_dict {1:[1,2], 2:[0,1,2], 3:[0,1,2]}; the reference first
+installs no-op schedules on every block (:282-294) — here non-targets simply
+never receive a flag. SEINE's CFG batch order is [src, cond, uncond]
+(``run_pnp_edit.py:183-187``) — the source-row overwrite is order-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+from ..ops.pnp import inject_source_rows
+from ..ops.relpos import relative_position_bias
+from .layers import (
+    Downsample2D,
+    FeedForward,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Upsample2D,
+    fold_frames,
+    sinusoidal_embedding,
+    unfold_frames,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SeinePnPFlags:
+    """SEINE adds a cross-attention injection family
+    (``seine/pnp_utils.py:298``)."""
+
+    conv: jax.Array
+    spatial: jax.Array
+    cross: jax.Array
+    temporal: jax.Array
+
+
+jax.tree_util.register_dataclass(SeinePnPFlags)
+
+
+@dataclasses.dataclass(frozen=True)
+class SeineUNetConfig:
+    in_channels: int = 9
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_attention_heads: int = 8       # SD1.x: 8 heads, head_dim = C // 8
+    norm_num_groups: int = 32
+    relpos_num_buckets: int = 32
+    relpos_max_distance: int = 32
+    pnp_chunks: int = 3
+    pnp_attn_targets: Tuple[Tuple[int, int], ...] = (
+        (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0), (3, 1), (3, 2),
+    )
+    pnp_conv_target: Tuple[int, int] = (1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+class _SeineTransformerBlock(nn.Module):
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    num_frames_hint: int
+    relpos_num_buckets: int
+    relpos_max_distance: int
+    dtype: jnp.dtype
+    pnp_chunks: int
+
+    @nn.compact
+    def __call__(self, x, context, inj_spatial=None, inj_cross=None, inj_temporal=None):
+        # x: [(B F), HW, C] batch-major; context: [(B F), S, D]
+        inner = self.heads * self.head_dim
+        bf, hw, c = x.shape
+        f = self.num_frames_hint
+        b = bf // f
+
+        # --- attn1: spatial self ------------------------------------------
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_q")(h)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_k")(h)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_v")(h)
+        if inj_spatial is not None:
+            q = inject_source_rows(q, inj_spatial, self.pnp_chunks)
+            k = inject_source_rows(k, inj_spatial, self.pnp_chunks)
+        out = multi_head_attention(q, k, v, heads=self.heads)
+        x = x + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(out)
+
+        # --- attn2: cross (SEINE-only injection point) --------------------
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(h)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(context)
+        if inj_cross is not None:
+            q = inject_source_rows(q, inj_cross, self.pnp_chunks)
+            k = inject_source_rows(k, inj_cross, self.pnp_chunks)
+        out = multi_head_attention(q, k, v, heads=self.heads)
+        x = x + nn.Dense(c, dtype=self.dtype, name="attn2_to_out")(out)
+
+        # --- attn_temp: frames as tokens per pixel + T5 rel-pos bias -------
+        h = x.reshape(b, f, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, f, c)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm_temp")(h).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_q")(h)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_k")(h)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_v")(h)
+        if inj_temporal is not None:
+            # per-pixel fold keeps batch-major chunks: rows [(B HW)] split into
+            # pnp_chunks blocks of (B/chunks)*HW
+            q = inject_source_rows(q, inj_temporal, self.pnp_chunks)
+            k = inject_source_rows(k, inj_temporal, self.pnp_chunks)
+        bias_table = self.param(
+            "time_rel_pos_bias",
+            nn.initializers.normal(0.02),
+            (self.relpos_num_buckets, self.heads),
+        )
+        bias = relative_position_bias(
+            bias_table, f, f, num_buckets=self.relpos_num_buckets,
+            max_distance=self.relpos_max_distance,
+        )[None]  # [1, heads, F, F]
+        out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
+        out = nn.Dense(c, dtype=self.dtype, name="temp_to_out")(out)
+        x = x + out.reshape(b, hw, f, c).transpose(0, 2, 1, 3).reshape(bf, hw, c)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class SeineTransformer3D(nn.Module):
+    """Transformer3DModel: groupnorm -> 1x1-conv proj_in -> block -> proj_out."""
+
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    num_frames_hint: int
+    relpos_num_buckets: int
+    relpos_max_distance: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 3
+
+    @nn.compact
+    def __call__(self, x, context, inj_spatial=None, inj_cross=None, inj_temporal=None):
+        bf, h_, w_, c = x.shape
+        inner = self.heads * self.head_dim
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
+        h = h.reshape(bf, h_ * w_, inner)
+        ctx = jnp.repeat(context.astype(self.dtype), self.num_frames_hint, axis=0)
+        h = _SeineTransformerBlock(
+            self.heads, self.head_dim, self.cross_attention_dim,
+            self.num_frames_hint, self.relpos_num_buckets, self.relpos_max_distance,
+            self.dtype, self.pnp_chunks, name="block",
+        )(h, ctx, inj_spatial, inj_cross, inj_temporal)
+        h = h.reshape(bf, h_, w_, inner)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class SeineUNet(nn.Module):
+    """Input [B, F, h, w, 9] (latent + mask + masked-video latent),
+    output eps [B, F, h, w, 4]."""
+
+    config: SeineUNetConfig = SeineUNetConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,                 # [B, F, h, w, 9]
+        timestep: jax.Array,
+        encoder_hidden_states: jax.Array,  # [B, S, 768]
+        pnp: Optional[SeinePnPFlags] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        dt = cfg.dtype
+        pnp_on = pnp is not None
+        B, F, H, W, C = sample.shape
+        ch0 = cfg.block_out_channels[0]
+        heads = cfg.num_attention_heads
+
+        ts = jnp.broadcast_to(jnp.atleast_1d(timestep), (B,))
+        t_emb = sinusoidal_embedding(ts, ch0).astype(dt)
+        emb = TimestepEmbedding(ch0 * 4, dtype=dt, name="time_embedding")(t_emb)
+        emb = jnp.repeat(emb, F, axis=0)
+
+        context = encoder_hidden_states.astype(dt)
+
+        def transformer(name, ch):
+            return SeineTransformer3D(
+                heads, ch // heads, cfg.cross_attention_dim, F,
+                cfg.relpos_num_buckets, cfg.relpos_max_distance,
+                groups=cfg.norm_num_groups, dtype=dt, pnp_chunks=cfg.pnp_chunks,
+                name=name,
+            )
+
+        x = fold_frames(sample.astype(dt))
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+
+        skips = [x]
+        n_blocks = len(cfg.block_out_channels)
+        for i, ch in enumerate(cfg.block_out_channels):
+            is_cross = i < n_blocks - 1
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                                  pnp_chunks=cfg.pnp_chunks,
+                                  name=f"down_{i}_resnet_{j}")(x, emb)
+                if is_cross:
+                    x = transformer(f"down_{i}_attn_{j}", ch)(x, context)
+                skips.append(x)
+            if i < n_blocks - 1:
+                x = Downsample2D(ch, dtype=dt, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                          name="mid_resnet_0")(x, emb)
+        x = transformer("mid_attn", ch)(x, context)
+        x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                          name="mid_resnet_1")(x, emb)
+
+        rev = tuple(reversed(cfg.block_out_channels))
+        attn_targets = set(cfg.pnp_attn_targets)
+        for i, ch in enumerate(rev):
+            is_cross = i > 0
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                inj_conv = (pnp.conv if pnp_on and (i, j) == cfg.pnp_conv_target
+                            else None)
+                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                                  pnp_chunks=cfg.pnp_chunks,
+                                  name=f"up_{i}_resnet_{j}")(x, emb, inject=inj_conv)
+                if is_cross:
+                    target = pnp_on and (i, j) in attn_targets
+                    x = transformer(f"up_{i}_attn_{j}", ch)(
+                        x, context,
+                        inj_spatial=pnp.spatial if target else None,
+                        inj_cross=pnp.cross if target else None,
+                        inj_temporal=pnp.temporal if target else None,
+                    )
+            if i < n_blocks - 1:
+                x = Upsample2D(ch, dtype=dt, name=f"up_{i}_upsample")(x)
+
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x).astype(dt)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
+        return unfold_frames(x, F)

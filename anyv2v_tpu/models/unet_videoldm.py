@@ -1,0 +1,495 @@
+"""VideoLDM-style UNet (ConsistI2V backbone), TPU-first.
+
+Rebuilds the reference's ``VideoLDMUNet3DConditionModel``
+(``consisti2v/consisti2v/models/videoldm_unet.py:68``) and its block zoo:
+
+- first-frame conditioning mode "concat": the clean first-frame latent is
+  prepended on the FRAME axis (video_length += 1, ``videoldm_unet.py:712-714``)
+  and frame 0 is stripped from the output (``:1022-1023``);
+- per layer: ResnetBlock2D -> alpha-gated TemporalResnetBlock (two 3x1x1
+  conv3d, ``videoldm_unet_blocks.py:225-313``; gate out = a*x + (1-a)*res,
+  a clamped [0,1] at :307-311) -> spatial transformer whose self-attention
+  K/V are concat([tokens, first-frame tokens]) when conditioning
+  (``videoldm_transformer_blocks.py:479-489``) -> alpha-gated temporal
+  transformer (gate at :308-312) with rotary embedding applied to the FIRST
+  HALF of the flattened inner dim before head split (RotaryEmbedding(inner//2)
+  convention, ``videoldm_attention.py:552-561``) or the vendored sinusoidal
+  PE (``:644-663``), plus optional "augmented" keys: the 8-neighborhood of
+  the first frame, center-masked, replicate-padded (``videoldm_transformer_
+  blocks.py:490-504``) with zero rotary positions (``videoldm_attention.py:
+  588-599``);
+- mid block has spatial attention only (resnet0/conv3d0 then [attn, resnet,
+  conv3d] — ``videoldm_unet_blocks.py:748``, no temporal attention);
+- frame-stride conditioning: a second TimestepEmbedding added to the time
+  embedding (``videoldm_unet.py:787-811``).
+
+PnP injection points (``consisti2v/pnp_utils.py``): spatial attn1 Q/K on
+up_blocks res_dict {1:[1,2],2:[0,1,2],3:[0,1,2]}, temporal attn1 Q/K on the
+same ``tempo_attns`` indices (:356-363; injection happens BEFORE rotation,
+matching the reference processor), conv features at up_blocks[1].resnets[1]
+(:119-121). The CFG chunk count varies (2/3/4 — dual text+image guidance),
+so it is a config field.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import multi_head_attention
+from ..ops.pnp import inject_source_rows
+from ..ops.rotary import apply_rotary, rotary_angles, rotary_freqs
+from .layers import (
+    Downsample2D,
+    FeedForward,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Upsample2D,
+    fold_frames,
+    sinusoidal_embedding,
+    unfold_frames,
+)
+from .unet_i2vgen import PnPFlags
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoLDMUNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    attention_head_dim: int = 64       # spatial: heads = C // head_dim
+    n_temp_heads: int = 8              # temporal: head_dim = C // n_temp_heads
+    norm_num_groups: int = 32
+    first_frame_condition_mode: str = "concat"   # none | concat | input_only
+    temp_pos_embedding: str = "rotary"           # rotary | sinusoidal
+    augment_temporal_attention: bool = True
+    use_frame_stride_condition: bool = True
+    use_temporal: bool = True
+    pnp_chunks: int = 4                # [src, uncond, img, both] dual CFG
+    pnp_attn_targets: Tuple[Tuple[int, int], ...] = (
+        (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0), (3, 1), (3, 2),
+    )
+    pnp_conv_target: Tuple[int, int] = (1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+def videoldm_positional_encoding(length: int, dim: int) -> np.ndarray:
+    """Vendored ConsistI2V ``PositionalEncoding`` (``videoldm_attention.py:644``):
+    freq = exp(arange(dim/2)/dim * ln 10000); pe = interleave(sin, cos)."""
+    pos = np.arange(length, dtype=np.float64)
+    freq = np.exp(np.arange(dim // 2, dtype=np.float64) / dim * np.log(10000.0))
+    x = pos[:, None] / freq[None, :]
+    pe = np.stack([np.sin(x), np.cos(x)], axis=-1).reshape(length, dim)
+    return pe.astype(np.float32)
+
+
+class AlphaTemporalResnet(nn.Module):
+    """alpha-gated temporal resnet (two 3x1x1 conv3d) on [B, F, H, W, C].
+
+    (The reference class also creates a ``time_emb_proj`` that is never fed a
+    temb at runtime — omitted here; the weight converter skips it.)"""
+
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                    dtype=self.dtype, name="conv2")(h)
+        out = x + h
+        alpha = jnp.clip(self.param("alpha", nn.initializers.ones, (1,)), 0.0, 1.0)
+        return (alpha * x + (1.0 - alpha) * out).astype(x.dtype)
+
+
+class _SpatialFFBlock(nn.Module):
+    """BasicConditionalTransformerBlock, spatial variant: self-attn with
+    optional first-frame K/V concat, cross-attn, GEGLU FF."""
+
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    num_frames_hint: int  # static frames count for the first-frame gather
+    condition_on_first_frame: bool
+    dtype: jnp.dtype
+    pnp_chunks: int
+
+    @nn.compact
+    def __call__(self, x, context, inject=None):
+        # x: [(B F), HW, C] batch-major frames
+        inner = self.heads * self.head_dim
+        bf, hw, c = x.shape
+        f = self.num_frames_hint
+        b = bf // f
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+
+        if self.condition_on_first_frame:
+            ff = h.reshape(b, f, hw, c)[:, 0]                      # [B, HW, C]
+            ff = jnp.repeat(ff, f, axis=0)                         # [(B F), HW, C]
+            ctx_self = jnp.concatenate([h, ff], axis=1)            # keys: own + 1st-frame
+        else:
+            ctx_self = None
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_q")(h)
+        kv_src = h if ctx_self is None else ctx_self
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_k")(kv_src)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_v")(kv_src)
+        if inject is not None:
+            q = inject_source_rows(q, inject, self.pnp_chunks)
+            k = inject_source_rows(k, inject, self.pnp_chunks)
+        attn = multi_head_attention(q, k, v, heads=self.heads)
+        x = x + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(attn)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(h)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(context)
+        attn = multi_head_attention(q, k, v, heads=self.heads)
+        x = x + nn.Dense(c, dtype=self.dtype, name="attn2_to_out")(attn)
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        x = x + FeedForward(dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class VideoLDMSpatialTransformer(nn.Module):
+    """Transformer2DConditionModel spatial variant (no alpha gate)."""
+
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    num_frames_hint: int
+    condition_on_first_frame: bool
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 4
+
+    @nn.compact
+    def __call__(self, x, context, inject=None):
+        bf, h_, w_, c = x.shape
+        inner = self.heads * self.head_dim
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
+        h = h.reshape(bf, h_ * w_, inner)
+        # context repeated per frame (batch-major)
+        ctx = jnp.repeat(context.astype(self.dtype), self.num_frames_hint, axis=0)
+        h = _SpatialFFBlock(
+            self.heads, self.head_dim, self.cross_attention_dim,
+            self.num_frames_hint, self.condition_on_first_frame,
+            self.dtype, self.pnp_chunks, name="block",
+        )(h, ctx, inject=inject)
+        h = h.reshape(bf, h_, w_, inner)
+        h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+class _TemporalAttention(nn.Module):
+    """TemporalConditionalAttention: frames as tokens per pixel; rotary on the
+    first half of the flattened inner dim (before head split) or vendored
+    sinusoidal PE added to hidden states; optional augmented first-frame keys."""
+
+    heads: int
+    head_dim: int
+    rotary: bool
+    dtype: jnp.dtype
+    pnp_chunks: int
+
+    @nn.compact
+    def __call__(self, x, adjacent_slices=None, inject=None):
+        # x: [(B HW), F, C]; adjacent_slices: [(B HW), 8, C] first-frame keys
+        inner = self.heads * self.head_dim
+        bhw, f, c = x.shape
+
+        if not self.rotary:
+            pe = jnp.asarray(videoldm_positional_encoding(f, inner))
+            x_in = x + pe[None].astype(x.dtype)
+        else:
+            x_in = x
+
+        if adjacent_slices is not None:
+            if not self.rotary:
+                pe0 = jnp.asarray(videoldm_positional_encoding(1, inner))
+                adjacent_slices = adjacent_slices + pe0[None].astype(x.dtype)
+            ctx = jnp.concatenate([x_in, adjacent_slices], axis=1)  # [., F+8, C]
+        else:
+            ctx = x_in
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_in)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        if inject is not None:
+            # reference injects before rotation (consisti2v/pnp_utils.py:314-318)
+            q = inject_source_rows(q, inject, self.pnp_chunks)
+            k = inject_source_rows(k, inject, self.pnp_chunks)
+
+        if self.rotary:
+            # RotaryEmbedding(inner // 2): only the first inner//2 channels
+            # rotate; freqs follow the 'lang' convention on dim inner//2.
+            rot_dim = inner // 2
+            freqs = jnp.asarray(rotary_freqs(rot_dim))
+            q_pos = jnp.arange(f, dtype=jnp.float32)
+            q = q.at[..., :rot_dim].set(
+                apply_rotary(q[..., :rot_dim], rotary_angles(q_pos, freqs))
+            )
+            k_len = ctx.shape[1]
+            if adjacent_slices is None:
+                k_pos = jnp.arange(k_len, dtype=jnp.float32)
+            else:
+                k_pos = jnp.concatenate(
+                    [jnp.arange(f, dtype=jnp.float32), jnp.zeros(k_len - f)])
+            k = k.at[..., :rot_dim].set(
+                apply_rotary(k[..., :rot_dim], rotary_angles(k_pos, freqs))
+            )
+
+        out = multi_head_attention(q, k, v, heads=self.heads)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+def _first_frame_adjacent_slices(first_frame_tokens: jax.Array, h: int, w: int) -> jax.Array:
+    """8-neighborhood of each pixel in the first frame, replicate-padded,
+    center excluded; unfold order (reference mask [[1,1,1],[1,0,1],[1,1,1]]).
+
+    first_frame_tokens: [B, HW, C] -> [B*HW, 8, C]
+    """
+    b, hw, c = first_frame_tokens.shape
+    img = first_frame_tokens.reshape(b, h, w, c)
+    padded = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    offsets = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2)]
+    slices = [padded[:, di:di + h, dj:dj + w, :] for di, dj in offsets]
+    stacked = jnp.stack(slices, axis=3)  # [B, H, W, 8, C]
+    return stacked.reshape(b * h * w, 8, c)
+
+
+class VideoLDMTemporalTransformer(nn.Module):
+    """Temporal Transformer2DConditionModel: alpha-gated whole-output."""
+
+    heads: int
+    head_dim: int
+    cross_attention_dim: int
+    num_frames_hint: int
+    augment: bool
+    rotary: bool
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    pnp_chunks: int = 4
+
+    @nn.compact
+    def __call__(self, x, context, inject=None):
+        # x: [(B F), H, W, C]
+        bf, h_, w_, c = x.shape
+        f = self.num_frames_hint
+        b = bf // f
+        hw = h_ * w_
+        inner = self.heads * self.head_dim
+        input_states = x
+
+        h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        h = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(h.astype(self.dtype))
+        tokens = h.reshape(bf, hw, inner)
+
+        # --- attn1: temporal self-attention per pixel ----------------------
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tokens).astype(self.dtype)
+        # [(B F), HW, C'] -> [(B HW), F, C']
+        per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
+            b * hw, f, inner)
+        adj = None
+        if self.augment:
+            ff_tokens = normed.reshape(b, f, hw, inner)[:, 0]
+            adj = _first_frame_adjacent_slices(ff_tokens, h_, w_)
+        attn_out = _TemporalAttention(
+            self.heads, self.head_dim, self.rotary, self.dtype, self.pnp_chunks,
+            name="attn1",
+        )(per_pixel, adjacent_slices=adj, inject=inject)
+        attn_out = attn_out.reshape(b, hw, f, inner).transpose(0, 2, 1, 3).reshape(
+            bf, hw, inner)
+        tokens = tokens + attn_out
+
+        # --- attn2: cross-attention to text (per pixel rows) ---------------
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tokens).astype(self.dtype)
+        per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
+            b * hw, f, inner)
+        ctx = jnp.repeat(context.astype(self.dtype), hw, axis=0)  # [(B HW), S, D]
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(per_pixel)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(ctx)
+        cross = multi_head_attention(q, k, v, heads=self.heads)
+        cross = nn.Dense(inner, dtype=self.dtype, name="attn2_to_out")(cross)
+        cross = cross.reshape(b, hw, f, inner).transpose(0, 2, 1, 3).reshape(bf, hw, inner)
+        tokens = tokens + cross
+
+        normed = nn.LayerNorm(dtype=jnp.float32, name="norm3")(tokens).astype(self.dtype)
+        tokens = tokens + FeedForward(dtype=self.dtype, name="ff")(normed)
+
+        out = tokens.reshape(bf, h_, w_, inner)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        out = out + input_states
+
+        alpha = jnp.clip(self.param("alpha", nn.initializers.ones, (1,)), 0.0, 1.0)
+        return (alpha * input_states + (1.0 - alpha) * out).astype(x.dtype)
+
+
+class VideoLDMUNet(nn.Module):
+    """Full ConsistI2V UNet. Input/output [B, F, h, w, C] channels-last;
+    ``first_frame_latents`` [B, 1, h, w, C] prepended on the frame axis in
+    "concat" mode and stripped from the output."""
+
+    config: VideoLDMUNetConfig = VideoLDMUNetConfig()
+
+    def _sp_heads(self, ch):
+        return ch // self.config.attention_head_dim, self.config.attention_head_dim
+
+    def _tp_heads(self, ch):
+        return self.config.n_temp_heads, ch // self.config.n_temp_heads
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,                 # [B, F, h, w, 4]
+        timestep: jax.Array,
+        encoder_hidden_states: jax.Array,  # [B, S, D]
+        first_frame_latents: Optional[jax.Array] = None,  # [B, 1, h, w, 4]
+        frame_stride: Optional[jax.Array] = None,
+        pnp: Optional[PnPFlags] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        dt = cfg.dtype
+        concat_mode = cfg.first_frame_condition_mode in ("concat", "input_only")
+        cond_spatial = cfg.first_frame_condition_mode == "concat"
+        pnp_on = pnp is not None
+
+        if concat_mode:
+            if first_frame_latents is None:
+                raise ValueError("first_frame_condition_mode needs first_frame_latents")
+            sample = jnp.concatenate([first_frame_latents, sample], axis=1)
+
+        B, F, H, W, C = sample.shape
+        ch0 = cfg.block_out_channels[0]
+        time_embed_dim = ch0 * 4
+
+        ts = jnp.broadcast_to(jnp.atleast_1d(timestep), (B,))
+        t_emb = sinusoidal_embedding(ts, ch0).astype(dt)
+        emb = TimestepEmbedding(time_embed_dim, dtype=dt, name="time_embedding")(t_emb)
+        if cfg.use_frame_stride_condition:
+            fs = jnp.broadcast_to(jnp.atleast_1d(
+                frame_stride if frame_stride is not None else jnp.int32(1)), (B,))
+            fs_emb = sinusoidal_embedding(fs, ch0).astype(dt)
+            # zero-init output proj (videoldm_unet.py:234-245): start as no-op
+            fs_hidden = nn.Dense(time_embed_dim, dtype=dt, name="frame_stride_fc1")(fs_emb)
+            fs_hidden = nn.silu(fs_hidden)
+            fs_out = nn.Dense(time_embed_dim, dtype=dt, kernel_init=nn.initializers.zeros,
+                              bias_init=nn.initializers.zeros, name="frame_stride_fc2")(fs_hidden)
+            emb = emb + fs_out
+        emb = jnp.repeat(emb, F, axis=0)  # [(B F), D]
+
+        context = encoder_hidden_states.astype(dt)
+
+        x = fold_frames(sample.astype(dt))
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+
+        def spatial_tr(name, ch, targeted):
+            heads, hd = self._sp_heads(ch)
+            return VideoLDMSpatialTransformer(
+                heads, hd, cfg.cross_attention_dim, F, cond_spatial,
+                groups=cfg.norm_num_groups, dtype=dt, pnp_chunks=cfg.pnp_chunks,
+                name=name,
+            )
+
+        def temporal_tr(name, ch):
+            heads, hd = self._tp_heads(ch)
+            return VideoLDMTemporalTransformer(
+                heads, hd, cfg.cross_attention_dim, F,
+                augment=cfg.augment_temporal_attention,
+                rotary=cfg.temp_pos_embedding == "rotary",
+                groups=cfg.norm_num_groups, dtype=dt, pnp_chunks=cfg.pnp_chunks,
+                name=name,
+            )
+
+        # --- down ----------------------------------------------------------
+        skips = [x]
+        n_blocks = len(cfg.block_out_channels)
+        for i, ch in enumerate(cfg.block_out_channels):
+            is_cross = i < n_blocks - 1
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                                  pnp_chunks=cfg.pnp_chunks,
+                                  name=f"down_{i}_resnet_{j}")(x, emb)
+                if cfg.use_temporal:
+                    x = fold_frames(AlphaTemporalResnet(
+                        ch, groups=cfg.norm_num_groups, dtype=dt,
+                        name=f"down_{i}_conv3d_{j}")(unfold_frames(x, F)))
+                if is_cross:
+                    x = spatial_tr(f"down_{i}_attn_{j}", ch, False)(x, context)
+                    if cfg.use_temporal:
+                        x = temporal_tr(f"down_{i}_tempattn_{j}", ch)(x, context)
+                skips.append(x)
+            if i < n_blocks - 1:
+                x = Downsample2D(ch, dtype=dt, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+
+        # --- mid (spatial attention only; videoldm_unet_blocks.py:748) -----
+        ch = cfg.block_out_channels[-1]
+        x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                          name="mid_resnet_0")(x, emb)
+        if cfg.use_temporal:
+            x = fold_frames(AlphaTemporalResnet(ch, groups=cfg.norm_num_groups,
+                                                dtype=dt, name="mid_conv3d_0")(
+                unfold_frames(x, F)))
+        x = spatial_tr("mid_attn", ch, False)(x, context)
+        x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                          name="mid_resnet_1")(x, emb)
+        if cfg.use_temporal:
+            x = fold_frames(AlphaTemporalResnet(ch, groups=cfg.norm_num_groups,
+                                                dtype=dt, name="mid_conv3d_1")(
+                unfold_frames(x, F)))
+
+        # --- up --------------------------------------------------------------
+        rev = tuple(reversed(cfg.block_out_channels))
+        attn_targets = set(cfg.pnp_attn_targets)
+        for i, ch in enumerate(rev):
+            is_cross = i > 0
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                inject_conv = (pnp.conv if pnp_on and (i, j) == cfg.pnp_conv_target
+                               else None)
+                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                                  pnp_chunks=cfg.pnp_chunks,
+                                  name=f"up_{i}_resnet_{j}")(x, emb, inject=inject_conv)
+                if cfg.use_temporal:
+                    x = fold_frames(AlphaTemporalResnet(
+                        ch, groups=cfg.norm_num_groups, dtype=dt,
+                        name=f"up_{i}_conv3d_{j}")(unfold_frames(x, F)))
+                if is_cross:
+                    target = pnp_on and (i, j) in attn_targets
+                    x = spatial_tr(f"up_{i}_attn_{j}", ch, target)(
+                        x, context, inject=pnp.spatial if target else None)
+                    if cfg.use_temporal:
+                        x = temporal_tr(f"up_{i}_tempattn_{j}", ch)(
+                            x, context, inject=pnp.temporal if target else None)
+            if i < n_blocks - 1:
+                x = Upsample2D(ch, dtype=dt, name=f"up_{i}_upsample")(x)
+
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-5, dtype=jnp.float32,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x).astype(dt)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
+        out = unfold_frames(x, F)
+        if concat_mode:
+            out = out[:, 1:]  # strip the conditioning frame (videoldm_unet.py:1022)
+        return out

@@ -1,0 +1,295 @@
+"""ConsistI2V AnyV2V pipeline: jitted inversion + dual-CFG PnP editing.
+
+Rebuilds the reference ``ConditionalVideoEditingPipeline``
+(``consisti2v/consisti2v/pipelines/pipeline_video_editing.py``):
+
+- the video's frame 0 is split off as clean conditioning (``:875-877`` /
+  ``:1494-1495``); the denoising state is frames 1..F-1;
+- the per-step cache stores the clean first-frame latent concatenated at
+  frame 0 (``:932-941``); editing strips it back off (``:1506-1507``);
+- dual CFG (``:1319-1326``): guidance mode None / "text" / "both" from
+  (cfg_txt, cfg_img); batches [src, x], [src, x, x], [src, x, x, x];
+  text rows [inv, text], [inv, uncond, text], [inv, uncond, uncond, text];
+  first-frame rows [src_ff, edit_ff], [src_ff, edit_ff, edit_ff],
+  [src_ff, cache_ff, edit_ff, edit_ff] (``:1516-1524`` — the "uncond" image
+  row uses the initial cache's frame 0);
+- eps = uncond + s_img (img - uncond) + s_txt (both - img) (``:1548-1549``),
+  with optional guidance rescale (``:50``, arXiv:2305.08891);
+- output frame 0 is *copied* from the edited image latent (``:1569``).
+
+FreeInit noise re-init (``use_frameinit``, ``:208-227``) is exposed via
+:func:`apply_frameinit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIPTextModel
+from ..models.unet_videoldm import VideoLDMUNet
+from ..models.unet_i2vgen import PnPFlags
+from ..models.vae import AutoencoderKL, sample_from_moments
+from ..ops.freeinit import FILTERS, freq_mix_3d
+from ..ops.pnp import injection_step_mask
+from ..schedulers import (
+    DiffusionSchedule,
+    add_noise,
+    ddim_inverse_step,
+    ddim_step,
+    inversion_timesteps,
+    sampling_timesteps,
+)
+from .i2vgen import PnPConfig
+
+
+def guidance_mode(cfg_txt: float, cfg_img: float) -> Optional[str]:
+    """Reference ``pipeline_video_editing.py:1321-1326``."""
+    mode = None
+    if cfg_txt > 1.0:
+        mode = "text"
+    if cfg_img > 1.0:
+        mode = "both"
+    return mode
+
+
+def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
+    """Guidance rescale (reference ``:50-61``, arXiv:2305.08891 §3.4)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+@dataclasses.dataclass
+class ConsistI2VPipeline:
+    unet: VideoLDMUNet
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    schedule: DiffusionSchedule
+    params: Dict[str, Any]
+    cache_dtype: jnp.dtype = jnp.float32
+
+    # -- encoders (shared semantics with the i2vgen pipeline) --------------
+
+    @cached_property
+    def _encode_frames(self):
+        @jax.jit
+        def fn(params, frames01):
+            x = frames01 * 2.0 - 1.0
+            moments = self.vae.apply(params["vae"], x, method="encode_moments")
+            z = sample_from_moments(moments)
+            return z.astype(jnp.float32) * self.vae.config.scaling_factor
+
+        return fn
+
+    def encode_video(self, frames01: jax.Array) -> jax.Array:
+        return self._encode_frames(self.params, frames01)[None]
+
+    def encode_text(self, input_ids: jax.Array) -> jax.Array:
+        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
+        return hidden
+
+    @cached_property
+    def _decode(self):
+        @jax.jit
+        def fn(params, latents):
+            z = latents / self.vae.config.scaling_factor
+            img = self.vae.apply(params["vae"], z, method="decode")
+            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        return fn
+
+    def decode_latents(self, latents: jax.Array) -> jax.Array:
+        return self._decode(self.params, latents[0])
+
+    # -- inversion -----------------------------------------------------------
+
+    @cached_property
+    def _invert(self):
+        @jax.jit
+        def fn(params, x0_rest, first_frame_latents, text_embeds, frame_stride, inv_ts):
+            n_steps = inv_ts.shape[0]
+
+            def body(x, t):
+                eps = self.unet.apply(
+                    params["unet"],
+                    sample=x,
+                    timestep=t,
+                    encoder_hidden_states=text_embeds,
+                    first_frame_latents=first_frame_latents,
+                    frame_stride=frame_stride,
+                )
+                x_next = ddim_inverse_step(
+                    self.schedule, x, eps.astype(jnp.float32), t, n_steps
+                )
+                # cache row includes the clean frame-0 latent (reference :932-941)
+                row = jnp.concatenate([first_frame_latents, x_next], axis=1)
+                return x_next, row.astype(self.cache_dtype)
+
+            _, traj = jax.lax.scan(body, x0_rest.astype(jnp.float32), inv_ts)
+            return traj
+
+        return fn
+
+    def invert(
+        self,
+        video_latents: jax.Array,   # [1, F, h, w, 4] incl. frame 0
+        text_embeds: jax.Array,     # [1, S, D]
+        num_inversion_steps: int = 500,
+        frame_stride: int = 3,
+    ):
+        """cfg_txt = cfg_img = 1.0 inversion (reference
+        ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``)."""
+        ff = video_latents[:, :1]
+        rest = video_latents[:, 1:]
+        inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
+        traj = self._invert(
+            self.params, rest, ff, text_embeds,
+            jnp.int32(frame_stride), jnp.asarray(inv_ts, jnp.int32),
+        )
+        return traj, inv_ts  # traj rows: [1, F, h, w, 4] WITH clean frame 0
+
+    # -- PnP editing -----------------------------------------------------------
+
+    def _unet_for_chunks(self, n_chunks: int) -> VideoLDMUNet:
+        if self.unet.config.pnp_chunks == n_chunks:
+            return self.unet
+        return VideoLDMUNet(dataclasses.replace(self.unet.config, pnp_chunks=n_chunks))
+
+    @cached_property
+    def _sample_pnp(self):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("mode",))
+        def fn(params, init_latent, cache_ff, traj, text_all, ff_src, ff_edit,
+               frame_stride, step_data, cfg_txt, cfg_img, rescale, *, mode):
+            n_chunks = {None: 2, "text": 3, "both": 4}[mode]
+            unet = self._unet_for_chunks(n_chunks)
+
+            def body(x, step):
+                t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp = step
+                row = jax.lax.dynamic_index_in_dim(traj, cache_i, 0, keepdims=False)
+                src = row[:, 1:].astype(jnp.float32)   # strip cached frame 0
+                if mode is None:
+                    inp = jnp.concatenate([src, x], axis=0)
+                    ffl = jnp.concatenate([ff_src, ff_edit], axis=0)
+                elif mode == "text":
+                    inp = jnp.concatenate([src, x, x], axis=0)
+                    ffl = jnp.concatenate([ff_src, ff_edit, ff_edit], axis=0)
+                else:
+                    inp = jnp.concatenate([src, x, x, x], axis=0)
+                    ffl = jnp.concatenate([ff_src, cache_ff, ff_edit, ff_edit], axis=0)
+                eps_all = unet.apply(
+                    params["unet"],
+                    sample=inp,
+                    timestep=t,
+                    encoder_hidden_states=text_all,
+                    first_frame_latents=ffl,
+                    frame_stride=frame_stride,
+                    pnp=PnPFlags(conv=inj_conv, spatial=inj_sp, temporal=inj_tmp),
+                ).astype(jnp.float32)
+                if mode is None:
+                    _s, eps = jnp.split(eps_all, 2, axis=0)
+                elif mode == "text":
+                    _s, e_u, e_t = jnp.split(eps_all, 3, axis=0)
+                    eps = e_u + cfg_txt * (e_t - e_u)
+                    # guidance rescale supports text mode only (reference :1556
+                    # would NameError in "both" mode)
+                    eps = jnp.where(rescale > 0.0,
+                                    rescale_noise_cfg(eps, e_t, rescale), eps)
+                else:
+                    _s, e_u, e_i, e_b = jnp.split(eps_all, 4, axis=0)
+                    eps = e_u + cfg_img * (e_i - e_u) + cfg_txt * (e_b - e_i)
+                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
+            return out
+
+        return fn
+
+    def sample_with_pnp(
+        self,
+        traj: jax.Array,            # [n, 1, F, h, w, 4] rows incl. clean frame 0
+        inv_ts: np.ndarray,
+        text_embeds_all: jax.Array,  # rows per guidance mode (see module doc)
+        edited_ff_latent: jax.Array,  # [1, 1, h, w, 4]
+        src_ff_latent: jax.Array,     # [1, 1, h, w, 4]
+        num_inference_steps: int = 50,
+        t_idx: int = 4,
+        cfg_txt: float = 35.0,
+        cfg_img: float = 1.0,
+        guidance_rescale: float = 0.0,
+        pnp: Optional[PnPConfig] = None,
+        frame_stride: int = 3,
+        init_latent: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Returns edited latents [1, F, h, w, 4] with frame 0 = edited image
+        latent (copied, not generated — reference ``:1569``)."""
+        pnp = pnp or PnPConfig(0.2, 0.2, 0.5)
+        mode = guidance_mode(cfg_txt, cfg_img)
+        ts = sampling_timesteps(self.schedule, num_inference_steps)
+        m_conv = injection_step_mask(ts, pnp.conv, num_inference_steps)[t_idx:]
+        m_sp = injection_step_mask(ts, pnp.spatial, num_inference_steps)[t_idx:]
+        m_tmp = injection_step_mask(ts, pnp.temporal, num_inference_steps)[t_idx:]
+        ts_run = ts[t_idx:]
+        step_ratio = self.schedule.num_train_timesteps // num_inference_steps
+
+        t_to_row = {int(t): i for i, t in enumerate(inv_ts)}
+        try:
+            cache_idx = np.array([t_to_row[int(t)] for t in ts_run], np.int32)
+        except KeyError as e:
+            raise ValueError(f"timestep {e} not on the inversion grid") from None
+
+        init_row = traj[cache_idx[0]]
+        cache_ff = init_row[:, :1].astype(jnp.float32)  # "noisy" ff = cache frame 0
+        if init_latent is None:
+            init_latent = init_row[:, 1:]
+
+        step_data = (
+            jnp.asarray(ts_run, jnp.int32),
+            jnp.asarray(ts_run - step_ratio, jnp.int32),
+            jnp.asarray(cache_idx, jnp.int32),
+            jnp.asarray(m_conv), jnp.asarray(m_sp), jnp.asarray(m_tmp),
+        )
+        out = self._sample_pnp(
+            self.params, init_latent, cache_ff, traj, text_embeds_all,
+            src_ff_latent.astype(jnp.float32), edited_ff_latent.astype(jnp.float32),
+            jnp.int32(frame_stride), step_data,
+            jnp.float32(cfg_txt), jnp.float32(cfg_img), jnp.float32(guidance_rescale),
+            mode=mode,
+        )
+        return jnp.concatenate([edited_ff_latent.astype(out.dtype), out], axis=1)
+
+    # -- FreeInit ---------------------------------------------------------------
+
+    def apply_frameinit(
+        self,
+        latents: jax.Array,          # [1, F, h, w, 4] initial noise
+        first_frame_latent: jax.Array,  # [1, 1, h, w, 4] clean
+        noise_level: int = 999,
+        filter_type: str = "butterworth",
+        filter_order: int = 4,
+        d_s: float = 0.25,
+        d_t: float = 0.25,
+        key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """FreeInit re-initialization (reference ``:208-227`` applied at
+        ``:623-633``): diffuse the static first-frame video to ``noise_level``
+        and keep its low frequencies, the input noise's high frequencies."""
+        f, h, w = latents.shape[1:4]
+        static_vid = jnp.tile(first_frame_latent, (1, f, 1, 1, 1))
+        z_t = add_noise(self.schedule, static_vid, latents, jnp.int32(noise_level))
+        if filter_type == "butterworth":
+            lpf = FILTERS[filter_type]((f, h, w), n=filter_order, d_s=d_s, d_t=d_t)
+        else:
+            lpf = FILTERS[filter_type]((f, h, w), d_s=d_s, d_t=d_t)
+        return freq_mix_3d(z_t.astype(jnp.float32), latents.astype(jnp.float32),
+                           jnp.asarray(lpf))

@@ -1,0 +1,262 @@
+"""SEINE AnyV2V pipeline: masked-video-conditioned inversion + DDPM/DDIM PnP edit.
+
+Rebuilds the reference ``seine/run_ddim_inversion.py`` (``SEINEDDIMInversion
+Pipeline``) and ``seine/run_pnp_edit.py`` (``SEINEPnPPipeline``):
+
+- conditioning: "first1" mask (0 = keep, frame 0; 1 = generate) and the
+  VAE-encoded masked video (frame 0 real, rest zero-padded) — built at
+  ``run_ddim_inversion.py:222-256``, mask semantics ``seine_utils.py:5-29``;
+  model input is the 9-channel concat [x, mask, masked_latent];
+- inversion: manual mu/sigma DDIM update over the reversed 500-step grid
+  (``:141-188``), numerically identical to :func:`ddim_transfer` with the
+  model evaluated at the ascending target t and x0 extracted at the previous
+  grid level; latents saved only on a 250-step sub-grid (``:295-308``,
+  ``configs/ddim_inversion.yaml:30-31``);
+- editing: per-step batch [src, cond, uncond] where the source branch is
+  [cached_latent, mask, masked_SRC_latent] and edit branches use the masked
+  EDITED-first-frame latent (``run_pnp_edit.py:174-219``); text rows
+  [inv, cond, uncond]; cfg = uncond + scale (cond - uncond); default sampler
+  DDPM with the cache looked up at t+1 (``:180``, ``configs/pnp_edit.yaml:29``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property, partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip import CLIPTextModel
+from ..models.unet_seine import SeinePnPFlags, SeineUNet
+from ..models.vae import AutoencoderKL, sample_from_moments
+from ..ops.pnp import injection_step_mask
+from ..schedulers import (
+    DiffusionSchedule,
+    ddim_step,
+    ddim_transfer,
+    ddpm_step,
+    inversion_timesteps,
+    sampling_timesteps,
+)
+
+
+@dataclasses.dataclass
+class SeinePnPConfig:
+    """pnp_f_t / spatial / temporal / cross thresholds
+    (``seine/configs/pnp_edit.yaml``: 0.2 / 0.2 / 0.5 / 0.0)."""
+
+    conv: float = 0.2
+    spatial: float = 0.2
+    temporal: float = 0.5
+    cross: float = 0.0
+
+
+def ddpm_grid(schedule: DiffusionSchedule, num_inference_steps: int) -> np.ndarray:
+    """DDPMScheduler grid: leading spacing WITHOUT steps_offset
+    ([980, 960, ..., 0] for 50 steps) — hence the t+1 cache lookup aligning
+    with the 250-step save grid {1, 5, ..., 997}."""
+    step_ratio = schedule.num_train_timesteps // num_inference_steps
+    return (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int64)
+
+
+@dataclasses.dataclass
+class SeinePipeline:
+    unet: SeineUNet
+    vae: AutoencoderKL
+    text_encoder: CLIPTextModel
+    schedule: DiffusionSchedule
+    params: Dict[str, Any]
+    cache_dtype: jnp.dtype = jnp.float32
+
+    # -- encoders ----------------------------------------------------------
+
+    @cached_property
+    def _encode_frames(self):
+        @jax.jit
+        def fn(params, frames01):
+            x = frames01 * 2.0 - 1.0
+            moments = self.vae.apply(params["vae"], x, method="encode_moments")
+            z = sample_from_moments(moments)
+            return z.astype(jnp.float32) * self.vae.config.scaling_factor
+
+        return fn
+
+    def encode_video(self, frames01: jax.Array) -> jax.Array:
+        return self._encode_frames(self.params, frames01)[None]
+
+    def encode_text(self, input_ids: jax.Array) -> jax.Array:
+        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
+        return hidden
+
+    @cached_property
+    def _decode(self):
+        @jax.jit
+        def fn(params, latents):
+            z = latents / self.vae.config.scaling_factor
+            img = self.vae.apply(params["vae"], z, method="decode")
+            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        return fn
+
+    def decode_latents(self, latents: jax.Array) -> jax.Array:
+        return self._decode(self.params, latents[0])
+
+    def build_masked_inputs(self, first_frame01: jax.Array, num_frames: int
+                            ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (mask [1, F, h, w, 1], masked_latent [1, F, h, w, 4]):
+        frame 0 = encoded first frame (mask 0), frames 1.. = encoded zeros
+        (mask 1) — reference ``run_ddim_inversion.py:222-256`` (the zero
+        frames are VAE-encoded too, not zero latents)."""
+        f0 = self._encode_frames(self.params, first_frame01[None])  # [1, h, w, 4]
+        zero_img = jnp.full_like(first_frame01[None], 0.5)  # pixel 0 in [-1,1]
+        z0 = self._encode_frames(self.params, zero_img)
+        h, w = f0.shape[1:3]
+        masked = jnp.concatenate(
+            [f0[None], jnp.tile(z0[None], (1, num_frames - 1, 1, 1, 1))], axis=1)
+        mask = jnp.concatenate(
+            [jnp.zeros((1, 1, h, w, 1), jnp.float32),
+             jnp.ones((1, num_frames - 1, h, w, 1), jnp.float32)], axis=1)
+        return mask, masked
+
+    def _nine_channel(self, x, mask, masked):
+        return jnp.concatenate([x, mask.astype(x.dtype), masked.astype(x.dtype)], axis=-1)
+
+    # -- inversion ---------------------------------------------------------
+
+    @cached_property
+    def _invert(self):
+        @jax.jit
+        def fn(params, x0, mask, masked, text, inv_ts):
+            n_steps = inv_ts.shape[0]
+            step_ratio = self.schedule.num_train_timesteps // n_steps
+
+            def body(x, t):
+                inp = self._nine_channel(x, mask, masked)
+                eps = self.unet.apply(
+                    params["unet"], sample=inp, timestep=t,
+                    encoder_hidden_states=text,
+                ).astype(jnp.float32)
+                t_src = jnp.minimum(t - step_ratio, self.schedule.num_train_timesteps - 1)
+                x_next = ddim_transfer(self.schedule, x, eps, t_src, t)
+                return x_next, x_next.astype(self.cache_dtype)
+
+            _, traj = jax.lax.scan(body, x0.astype(jnp.float32), inv_ts)
+            return traj
+
+        return fn
+
+    def invert(
+        self,
+        video_latents: jax.Array,   # [1, F, h, w, 4]
+        mask: jax.Array,
+        masked_latent: jax.Array,
+        text_embeds: jax.Array,
+        num_inversion_steps: int = 500,
+        num_save_steps: int = 250,
+    ):
+        """Returns (trajectory at the save grid, its timesteps) — the
+        reference persists only the 250-step toy-scheduler sub-grid
+        (``run_ddim_inversion.py:295-308``)."""
+        inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
+        traj = self._invert(
+            self.params, video_latents, mask, masked_latent, text_embeds,
+            jnp.asarray(inv_ts, jnp.int32),
+        )
+        save_ts = np.sort(sampling_timesteps(self.schedule, num_save_steps))
+        keep = np.isin(inv_ts, save_ts)
+        return traj[np.where(keep)[0]], inv_ts[keep]
+
+    # -- PnP editing -------------------------------------------------------
+
+    @cached_property
+    def _sample_pnp(self):
+        @partial(jax.jit, static_argnames=("sampler", "do_cfg"))
+        def fn(params, init_latent, traj, text_all, mask, masked_edit, masked_src,
+               step_data, cfg, noises, *, sampler, do_cfg):
+            def body(x, step):
+                t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp, inj_x, noise = step
+                src = jax.lax.dynamic_index_in_dim(traj, cache_i, 0, keepdims=False
+                                                   ).astype(jnp.float32)
+                src_in = self._nine_channel(src, mask, masked_src)
+                x_in = self._nine_channel(x, mask, masked_edit)
+                inp = jnp.concatenate([src_in, x_in, x_in], axis=0)
+                eps3 = self.unet.apply(
+                    params["unet"], sample=inp, timestep=t,
+                    encoder_hidden_states=text_all,
+                    pnp=SeinePnPFlags(conv=inj_conv, spatial=inj_sp,
+                                      cross=inj_x, temporal=inj_tmp),
+                ).astype(jnp.float32)
+                # SEINE order: [src, cond, uncond] (run_pnp_edit.py:183-215)
+                _s, e_cond, e_uncond = jnp.split(eps3, 3, axis=0)
+                eps = e_uncond + cfg * (e_cond - e_uncond) if do_cfg else e_cond
+                if sampler == "ddpm":
+                    x = ddpm_step(self.schedule, x, eps, t, t_prev, noise)
+                else:
+                    x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32),
+                                  (*step_data, noises))
+            return out
+
+        return fn
+
+    def sample_with_pnp(
+        self,
+        traj: jax.Array,
+        traj_ts: np.ndarray,
+        text_embeds_all: jax.Array,   # [3, S, D] rows [inv, cond, uncond]
+        mask: jax.Array,
+        masked_edit_latent: jax.Array,
+        masked_src_latent: jax.Array,
+        num_inference_steps: int = 50,
+        cfg_scale: float = 4.0,
+        sampler: str = "ddpm",
+        pnp: Optional[SeinePnPConfig] = None,
+        key: Optional[jax.Array] = None,
+        init_latent: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        pnp = pnp or SeinePnPConfig()
+        if sampler == "ddpm":
+            ts = ddpm_grid(self.schedule, num_inference_steps)
+            lookup = ts + 1  # cache at t+1 (run_pnp_edit.py:180)
+        else:
+            ts = sampling_timesteps(self.schedule, num_inference_steps)
+            lookup = ts
+        step_ratio = self.schedule.num_train_timesteps // num_inference_steps
+        ts_prev = ts - step_ratio
+
+        m_conv = injection_step_mask(ts, pnp.conv, num_inference_steps)
+        m_sp = injection_step_mask(ts, pnp.spatial, num_inference_steps)
+        m_tmp = injection_step_mask(ts, pnp.temporal, num_inference_steps)
+        m_x = injection_step_mask(ts, pnp.cross, num_inference_steps)
+
+        t_to_row = {int(t): i for i, t in enumerate(traj_ts)}
+        try:
+            cache_idx = np.array([t_to_row[int(t)] for t in lookup], np.int32)
+        except KeyError as e:
+            raise ValueError(f"timestep {e} not in the saved trajectory grid") from None
+
+        if init_latent is None:
+            init_latent = traj[cache_idx[0]]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        noises = jax.random.normal(
+            key, (len(ts),) + tuple(init_latent.shape), jnp.float32)
+
+        step_data = (
+            jnp.asarray(ts, jnp.int32), jnp.asarray(ts_prev, jnp.int32),
+            jnp.asarray(cache_idx, jnp.int32),
+            jnp.asarray(m_conv), jnp.asarray(m_sp), jnp.asarray(m_tmp),
+            jnp.asarray(m_x),
+        )
+        return self._sample_pnp(
+            self.params, init_latent, traj, text_embeds_all, mask,
+            masked_edit_latent.astype(jnp.float32),
+            masked_src_latent.astype(jnp.float32),
+            step_data, jnp.float32(cfg_scale), noises,
+            sampler=sampler, do_cfg=cfg_scale > 1.0,
+        )

@@ -24,7 +24,9 @@ import numpy as np
 
 from ..models.clip import CLIPTextConfig, CLIPTextModel, CLIPVisionConfig, CLIPVisionModel
 from ..models.unet_i2vgen import I2VGenUNet, I2VGenUNetConfig
+from ..models.unet_videoldm import VideoLDMUNet, VideoLDMUNetConfig
 from ..models.vae import AutoencoderKL, VAEConfig
+from ..pipelines.consisti2v import ConsistI2VPipeline
 from ..pipelines.i2vgen import I2VGenPipeline
 from ..schedulers import make_schedule
 
@@ -60,11 +62,91 @@ I2VGEN_TINY = dict(
 
 ARCHS = {"i2vgen-xl": I2VGEN_XL, "i2vgen-tiny": I2VGEN_TINY}
 
+# ConsistI2V production architecture (TIGER-Lab/ConsistI2V: SD2.1-base UNet
+# + VideoLDM temporal layers, rotary temporal PE, augmented temporal attn)
+CONSISTI2V = dict(
+    unet=VideoLDMUNetConfig(),
+    vae=VAEConfig(),
+    text=CLIPTextConfig(),
+)
+CONSISTI2V_TINY = dict(
+    unet=VideoLDMUNetConfig(
+        block_out_channels=(16, 32, 32, 32),
+        layers_per_block=1,
+        cross_attention_dim=32,
+        attention_head_dim=8,
+        n_temp_heads=2,
+        norm_num_groups=8,
+        pnp_attn_targets=((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)),
+        pnp_conv_target=(1, 1),
+    ),
+    vae=VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                  norm_num_groups=8),
+    text=CLIPTextConfig(vocab_size=49408, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, projection_dim=None),
+)
+CONSISTI2V_ARCHS = {"consisti2v": CONSISTI2V, "consisti2v-tiny": CONSISTI2V_TINY}
+
+
+def build_consisti2v_pipeline(
+    arch: str = "consisti2v",
+    init: str = "random",
+    seed: int = 0,
+    dtype: jnp.dtype = jnp.bfloat16,
+    scheduler_kwargs: Dict[str, Any] | None = None,
+) -> ConsistI2VPipeline:
+    spec = CONSISTI2V_ARCHS[arch]
+    unet_cfg = _override_dtype(spec["unet"], dtype)
+    vae_cfg = _override_dtype(spec["vae"], dtype)
+    text_cfg = spec["text"]
+    unet = VideoLDMUNet(unet_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    text = CLIPTextModel(text_cfg)
+
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        params = {
+            "unet": fast_random_params(
+                lambda: unet.init(
+                    key,
+                    sample=jnp.zeros((1, 2, 16, 16, 4)),
+                    timestep=jnp.int32(0),
+                    encoder_hidden_states=jnp.zeros((1, 4, text_cfg.hidden_size)),
+                    first_frame_latents=jnp.zeros((1, 1, 16, 16, 4)),
+                    frame_stride=jnp.int32(3),
+                ), seed),
+            "vae": fast_random_params(
+                lambda: vae.init(key, jnp.zeros((1, 64, 64, 3))), seed + 1),
+            "text": fast_random_params(
+                lambda: text.init(key, jnp.zeros((1, 4), jnp.int32)), seed + 2),
+        }
+    elif os.path.exists(init):
+        params = load_params(init)
+    else:
+        raise ValueError(f"unknown init: {init}")
+
+    schedule = make_schedule(**(scheduler_kwargs or {}))
+    return ConsistI2VPipeline(unet=unet, vae=vae, text_encoder=text,
+                              schedule=schedule, params=params)
+
 
 def _override_dtype(cfg, dtype):
     import dataclasses
 
     return dataclasses.replace(cfg, dtype=dtype)
+
+
+def cast_params(params, dtype):
+    """Cast float leaves of a params tree (norm layers recompute in fp32 at
+    apply time regardless, so bf16 storage costs little accuracy and halves
+    HBM: the full i2vgen-xl bundle is ~2.4B params — fp32 storage plus
+    activations exhausts a 16 GB v5e chip)."""
+    def cast(x):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
 
 
 def build_i2vgen_pipeline(
@@ -75,6 +157,8 @@ def build_i2vgen_pipeline(
     sample_hw: Tuple[int, int] = (512, 512),
     num_frames: int = 16,
     scheduler_kwargs: Dict[str, Any] | None = None,
+    param_dtype: jnp.dtype | None = None,
+    components: Tuple[str, ...] = ("unet", "vae", "text", "vision"),
 ) -> I2VGenPipeline:
     spec = ARCHS[arch]
     unet_cfg = _override_dtype(spec["unet"], dtype)
@@ -89,11 +173,13 @@ def build_i2vgen_pipeline(
 
     if init == "random":
         params = _random_params(unet, vae, text, vision, text_cfg, vision_cfg,
-                                seed, sample_hw, num_frames)
+                                seed, sample_hw, num_frames, components)
     elif os.path.exists(init):
         params = load_params(init)
     else:
         raise ValueError(f"unknown init: {init}")
+    if param_dtype is not None:
+        params = cast_params(params, param_dtype)
 
     schedule = make_schedule(**(scheduler_kwargs or {}))
     return I2VGenPipeline(
@@ -102,31 +188,72 @@ def build_i2vgen_pipeline(
     )
 
 
+def fast_random_params(init_fn, seed: int, scale: float = 0.02):
+    """Materialize a flax init tree without running the model.
+
+    Eager ``Module.init`` dispatches every op individually — prohibitively
+    slow over the axon device tunnel for the full-size UNet. Instead:
+    ``jax.eval_shape`` the init (host-only trace), then fill every leaf from
+    a single jitted program (one leaf-keyed normal per tensor; norm scales
+    get 1.0 + noise, biases stay small). Distribution details do not match
+    flax initializers — fine for random-weight smoke/bench runs; real runs
+    load converted checkpoints.
+    """
+    shapes = jax.eval_shape(init_fn)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    base = jax.random.PRNGKey(seed)
+
+    def make_leaf(i, path, leaf):
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        key = jax.random.fold_in(base, i)
+        if leaf.dtype in (jnp.int32, jnp.int64):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        if name.endswith("scale") or name.endswith("alpha"):
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name.endswith("bias"):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        return (jax.random.normal(key, leaf.shape, jnp.float32) * scale).astype(leaf.dtype)
+
+    # chunked jits: one giant 1500-output program takes minutes to compile on
+    # this host; ~128-leaf programs compile in seconds each
+    leaves = []
+    CHUNK = 128
+    for start in range(0, len(flat), CHUNK):
+        chunk = flat[start : start + CHUNK]
+
+        @jax.jit
+        def fill_chunk(start=start, chunk=chunk):
+            return [make_leaf(start + j, p, l) for j, (p, l) in enumerate(chunk)]
+
+        leaves.extend(fill_chunk())
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _random_params(unet, vae, text, vision, text_cfg, vision_cfg, seed,
-                   sample_hw, num_frames):
-    h, w = sample_hw[0] // 8, sample_hw[1] // 8
-    key = jax.random.PRNGKey(seed)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+                   sample_hw, num_frames, components=("unet", "vae", "text", "vision")):
     # tiny shapes are enough to materialize params (shape-polymorphic apply)
     f = min(num_frames, 2)
     unet_args = dict(
         sample=jnp.zeros((1, f, 16, 16, 4)),
         timestep=jnp.int32(0),
-        encoder_hidden_states=jnp.zeros((1, 4, text_cfg.hidden_size
-                                         if text_cfg.projection_dim is None
-                                         else text_cfg.hidden_size)),
+        encoder_hidden_states=jnp.zeros((1, 4, text_cfg.hidden_size)),
         fps=jnp.int32(8),
         image_latents=jnp.zeros((1, f, 16, 16, 4)),
         image_embeddings=jnp.zeros((1, 1, vision_cfg.projection_dim)),
     )
-    return {
-        "unet": unet.init(k1, **unet_args),
-        "vae": vae.init(k2, jnp.zeros((1, 64, 64, 3))),
-        "text": text.init(k3, jnp.zeros((1, 4), jnp.int32)),
-        "vision": vision.init(
-            k4, jnp.zeros((1, vision_cfg.image_size, vision_cfg.image_size, 3))
-        ),
+    k = jax.random.PRNGKey(seed)
+    builders = {
+        "unet": lambda: fast_random_params(lambda: unet.init(k, **unet_args), seed),
+        "vae": lambda: fast_random_params(
+            lambda: vae.init(k, jnp.zeros((1, 64, 64, 3))), seed + 1),
+        "text": lambda: fast_random_params(
+            lambda: text.init(k, jnp.zeros((1, 4), jnp.int32)), seed + 2),
+        "vision": lambda: fast_random_params(
+            lambda: vision.init(
+                k, jnp.zeros((1, vision_cfg.image_size, vision_cfg.image_size, 3))
+            ), seed + 3),
     }
+    return {name: builders[name]() for name in components}
 
 
 def save_params(path: str, params) -> None:

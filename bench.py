@@ -21,11 +21,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SECONDS = 60.0
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    if os.environ.get("BENCH_VERBOSE", "0") == "1":
+        print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+              flush=True)
 
 
 def main() -> None:
@@ -38,10 +46,13 @@ def main() -> None:
     n_frames, hw = 16, (512, 512)
     arch = os.environ.get("BENCH_ARCH", "i2vgen-xl")
 
+    _log(f"building pipeline arch={arch}")
     pipe = build_i2vgen_pipeline(
         arch=arch, init="random", dtype=jnp.bfloat16,
-        sample_hw=hw, num_frames=n_frames,
+        sample_hw=hw, num_frames=n_frames, param_dtype=jnp.bfloat16,
+        components=("unet", "vae"),  # bench feeds precomputed text/image embeds
     )
+    _log("pipeline built (params initialized, bf16 storage)")
     D = pipe.unet.config.cross_attention_dim
     h = hw[0] // 8
     rng = np.random.RandomState(0)
@@ -57,6 +68,7 @@ def main() -> None:
     img_lat = pipe.prepare_image_latents(frames01[0], n_frames)
     jax.block_until_ready((latents, img_lat))
     _vae_warm = time.perf_counter() - t0
+    _log(f"vae encode compiled+run in {_vae_warm:.1f}s")
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
     img_lat = pipe.prepare_image_latents(frames01[0], n_frames)
@@ -73,14 +85,20 @@ def main() -> None:
     # --- inversion ---------------------------------------------------------
     n_inv_measure = 500 if full else 20
     # warm compile
+    _log("compiling inversion scan")
     traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
                                num_inversion_steps=n_inv_measure)
     jax.block_until_ready(traj)
+    _log("inversion scan compiled")
     t0 = time.perf_counter()
     traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
                                num_inversion_steps=n_inv_measure)
     jax.block_until_ready(traj)
     t_inv = time.perf_counter() - t0
+    # host readback forces real completion and surfaces deferred device
+    # errors (axon executes asynchronously; a bare block_until_ready has
+    # been observed to return before OOM errors are raised)
+    assert np.isfinite(np.asarray(traj[-1]).sum()), "inversion produced non-finite"
     t_invert_total = t_inv if full else t_inv * (500 / n_inv_measure)
 
     # --- PnP edit ----------------------------------------------------------
@@ -88,14 +106,17 @@ def main() -> None:
     text3 = jnp.tile(text, (3, 1, 1))
     img_lat3 = jnp.tile(img_lat, (3, 1, 1, 1, 1))
     img_emb3 = jnp.tile(img_emb, (3, 1, 1))
+    _log("compiling pnp edit scan")
     out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
                                num_inference_steps=n_edit_measure)
     jax.block_until_ready(out)
+    _log("pnp edit scan compiled")
     t0 = time.perf_counter()
     out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
                                num_inference_steps=n_edit_measure)
     jax.block_until_ready(out)
     t_edit = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(out).sum()), "edit produced non-finite"
     t_edit_total = t_edit if full else t_edit * (50 / n_edit_measure)
 
     total = t_invert_total + t_edit_total + t_vae_encode + t_vae_decode

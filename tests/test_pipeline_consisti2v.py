@@ -1,0 +1,111 @@
+"""ConsistI2V pipeline tests: cache rows carry the clean frame-0 latent,
+dual-CFG modes produce correct batch layouts, frame 0 of the output is the
+edited image latent, FreeInit filters apply."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anyv2v_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+from anyv2v_tpu.models.unet_videoldm import VideoLDMUNet, VideoLDMUNetConfig
+from anyv2v_tpu.models.vae import AutoencoderKL, VAEConfig
+from anyv2v_tpu.pipelines.consisti2v import ConsistI2VPipeline, guidance_mode
+from anyv2v_tpu.schedulers import make_schedule
+
+TINY_UNET = VideoLDMUNetConfig(
+    block_out_channels=(8, 16, 16, 16),
+    layers_per_block=1,
+    cross_attention_dim=16,
+    attention_head_dim=4,
+    n_temp_heads=2,
+    norm_num_groups=4,
+    pnp_chunks=4,
+    pnp_attn_targets=((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)),
+    pnp_conv_target=(1, 1),
+    dtype=jnp.float32,
+)
+TINY_VAE = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                     norm_num_groups=4, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def pipe_and_frames():
+    F, H, W = 3, 16, 16
+    rng = np.random.RandomState(0)
+    unet = VideoLDMUNet(TINY_UNET)
+    vae = AutoencoderKL(TINY_VAE)
+    text_cfg = CLIPTextConfig(vocab_size=50, hidden_size=16, intermediate_size=32,
+                              num_layers=1, num_heads=2, max_position_embeddings=8,
+                              eos_token_id=49, projection_dim=None)
+    text = CLIPTextModel(text_cfg)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet.init(
+            key,
+            sample=jnp.zeros((1, F - 1, H, W, 4)),
+            timestep=jnp.int32(0),
+            encoder_hidden_states=jnp.zeros((1, 8, 16)),
+            first_frame_latents=jnp.zeros((1, 1, H, W, 4)),
+            frame_stride=jnp.int32(3),
+        ),
+        "vae": vae.init(key, jnp.zeros((1, H * 8, W * 8, 3))),
+        "text": text.init(key, jnp.zeros((1, 8), jnp.int32)),
+    }
+    pipe = ConsistI2VPipeline(unet=unet, vae=vae, text_encoder=text,
+                              schedule=make_schedule(), params=params)
+    frames01 = jnp.asarray(rng.rand(F, H * 8, W * 8, 3).astype(np.float32))
+    return pipe, frames01, F
+
+
+def test_guidance_mode_selection():
+    assert guidance_mode(1.0, 1.0) is None
+    assert guidance_mode(7.5, 1.0) == "text"
+    assert guidance_mode(35.0, 1.2) == "both"
+    assert guidance_mode(1.0, 1.2) == "both"
+
+
+def test_invert_cache_carries_clean_frame0(pipe_and_frames):
+    pipe, frames01, F = pipe_and_frames
+    latents = pipe.encode_video(frames01)
+    text = jnp.zeros((1, 8, 16))
+    traj, inv_ts = pipe.invert(latents, text, num_inversion_steps=20)
+    # rows are [1, F, h, w, 4] and frame 0 equals the clean latent, every step
+    assert traj.shape == (20, 1, F, 16, 16, 4)
+    for i in (0, 10, 19):
+        np.testing.assert_allclose(np.asarray(traj[i][:, :1]),
+                                   np.asarray(latents[:, :1]), rtol=1e-5)
+    assert np.isfinite(np.asarray(traj)).all()
+
+
+@pytest.mark.parametrize("cfg_txt,cfg_img", [(1.0, 1.0), (7.5, 1.0), (35.0, 1.2)])
+def test_sample_with_pnp_modes(pipe_and_frames, cfg_txt, cfg_img):
+    pipe, frames01, F = pipe_and_frames
+    latents = pipe.encode_video(frames01)
+    text = jnp.zeros((1, 8, 16))
+    traj, inv_ts = pipe.invert(latents, text, num_inversion_steps=20)
+
+    mode = guidance_mode(cfg_txt, cfg_img)
+    n_text = {None: 2, "text": 3, "both": 4}[mode]
+    text_all = jnp.tile(text, (n_text, 1, 1))
+    edited_ff = latents[:, :1] * 1.1
+    out = pipe.sample_with_pnp(
+        traj, inv_ts, text_all,
+        edited_ff_latent=edited_ff, src_ff_latent=latents[:, :1],
+        num_inference_steps=10, t_idx=1, cfg_txt=cfg_txt, cfg_img=cfg_img,
+    )
+    assert out.shape == latents.shape
+    # frame 0 is the edited latent, copied not generated (reference :1569)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(edited_ff[:, 0]),
+                               rtol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_frameinit(pipe_and_frames):
+    pipe, frames01, F = pipe_and_frames
+    latents = pipe.encode_video(frames01)
+    noise = jax.random.normal(jax.random.PRNGKey(0), latents.shape)
+    mixed = pipe.apply_frameinit(noise, latents[:, :1], noise_level=500)
+    assert mixed.shape == latents.shape
+    assert not np.allclose(np.asarray(mixed), np.asarray(noise))
+    assert np.isfinite(np.asarray(mixed)).all()
