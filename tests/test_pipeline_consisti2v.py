@@ -65,6 +65,7 @@ def test_guidance_mode_selection():
     assert guidance_mode(1.0, 1.2) == "both"
 
 
+@pytest.mark.slow
 def test_invert_cache_carries_clean_frame0(pipe_and_frames):
     pipe, frames01, F = pipe_and_frames
     latents = pipe.encode_video(frames01)
@@ -79,6 +80,7 @@ def test_invert_cache_carries_clean_frame0(pipe_and_frames):
 
 
 @pytest.mark.parametrize("cfg_txt,cfg_img", [(1.0, 1.0), (7.5, 1.0), (35.0, 1.2)])
+@pytest.mark.slow
 def test_sample_with_pnp_modes(pipe_and_frames, cfg_txt, cfg_img):
     pipe, frames01, F = pipe_and_frames
     latents = pipe.encode_video(frames01)
@@ -101,6 +103,7 @@ def test_sample_with_pnp_modes(pipe_and_frames, cfg_txt, cfg_img):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_frameinit(pipe_and_frames):
     pipe, frames01, F = pipe_and_frames
     latents = pipe.encode_video(frames01)

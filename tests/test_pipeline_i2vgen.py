@@ -51,7 +51,6 @@ def _tiny_pipeline(unet=None):
     vis_cfg = CLIPVisionConfig(hidden_size=16, intermediate_size=32, num_layers=1,
                                num_heads=2, image_size=H * 8, patch_size=8,
                                projection_dim=16)
-    real_unet = I2VGenUNet(TINY_UNET)
     vae = AutoencoderKL(TINY_VAE)
     text = CLIPTextModel(text_cfg)
     vision = CLIPVisionModel(vis_cfg)
@@ -65,14 +64,20 @@ def _tiny_pipeline(unet=None):
         image_latents=jnp.zeros((1, F, H, W, 4)),
         image_embeddings=jnp.zeros((1, 1, 16)),
     )
+    if unet is None:
+        unet = I2VGenUNet(TINY_UNET)
+        unet_params = unet.init(key, **unet_args)
+    else:
+        # stub ignores its params — skip the (slow on 1-core CPU) real init
+        unet_params = {}
     params = {
-        "unet": real_unet.init(key, **unet_args),
+        "unet": unet_params,
         "vae": vae.init(key, jnp.zeros((1, H * 8, W * 8, 3))),
         "text": text.init(key, jnp.zeros((1, 8), jnp.int32)),
         "vision": vision.init(key, jnp.zeros((1, H * 8, W * 8, 3))),
     }
     pipe = I2VGenPipeline(
-        unet=unet or real_unet, vae=vae, text_encoder=text, vision_encoder=vision,
+        unet=unet, vae=vae, text_encoder=text, vision_encoder=vision,
         schedule=make_schedule(), params=params,
     )
     frames01 = jnp.asarray(rng.rand(F, H * 8, W * 8, 3).astype(np.float32))
@@ -146,6 +151,7 @@ def test_grid_misalignment_raises(stub_pipe):
         )
 
 
+@pytest.mark.slow
 def test_real_unet_end_to_end_smoke(real_pipe):
     pipe, frames01, F = real_pipe
     latents = pipe.encode_video(frames01)

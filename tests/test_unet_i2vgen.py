@@ -61,6 +61,7 @@ def test_pnp_flags_change_output_but_not_source(unet_and_params):
     assert not np.allclose(np.asarray(on[2]), np.asarray(off[2]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pnp_individual_flags_have_distinct_effects(unet_and_params):
     unet, params, args = unet_and_params
     f, t = jnp.bool_(False), jnp.bool_(True)
@@ -75,6 +76,7 @@ def test_pnp_individual_flags_have_distinct_effects(unet_and_params):
     assert not np.allclose(outs["spatial"], outs["temporal"], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_single_compilation_across_flags_and_timesteps(unet_and_params):
     unet, params, args = unet_and_params
     traces = []
@@ -90,6 +92,7 @@ def test_single_compilation_across_flags_and_timesteps(unet_and_params):
     assert len(traces) == 1
 
 
+@pytest.mark.slow
 def test_different_frame_counts():
     unet = I2VGenUNet(TINY)
     rng = np.random.RandomState(1)

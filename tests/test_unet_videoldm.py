@@ -49,6 +49,7 @@ def unet_and_params():
     return unet, params, args
 
 
+@pytest.mark.slow
 def test_output_shape_strips_conditioning_frame(unet_and_params):
     unet, params, args = unet_and_params
     out = unet.apply(params, **args)
@@ -57,6 +58,7 @@ def test_output_shape_strips_conditioning_frame(unet_and_params):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_first_frame_latents_matter(unet_and_params):
     unet, params, args = unet_and_params
     out1 = unet.apply(params, **args)
@@ -65,6 +67,7 @@ def test_first_frame_latents_matter(unet_and_params):
     assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_frame_stride_is_noop_at_init_but_params_exist(unet_and_params):
     """frame_stride embedding output proj is zero-init (videoldm_unet.py:234-245)
     -> changing frame_stride must not change the output at init."""
@@ -89,6 +92,7 @@ def test_alpha_gate_identity_when_alpha_one():
     assert not np.allclose(np.asarray(out), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pnp_flags_reach_targets(unet_and_params):
     unet, params, args = unet_and_params
     f, t = jnp.bool_(False), jnp.bool_(True)
@@ -101,6 +105,7 @@ def test_pnp_flags_reach_targets(unet_and_params):
         assert not np.allclose(np.asarray(on[row]), np.asarray(off[row]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sinusoidal_and_non_augmented_variants():
     cfg = VideoLDMUNetConfig(
         **{**TINY.__dict__, "temp_pos_embedding": "sinusoidal",
