@@ -4,13 +4,18 @@ Replaces ``F.scaled_dot_product_attention`` used throughout the reference
 (e.g. ``i2vgen-xl/pnp_utils.py:208-210``) and the manual / xformers paths in
 ``seine/models/attention.py:218-311``.
 
-Two backends behind one function:
+Three backend selections behind one function:
 
-- ``xla``: ``jax.nn.dot_product_attention`` — XLA fuses QK^T+softmax+V well on
-  TPU for the moderate sequence lengths here (spatial: (H/8)^2 <= 4096 at
-  512^2; temporal: #frames <= 128).
-- ``pallas``: the flash kernel in :mod:`anyv2v_tpu.ops.pallas_attention`
-  (used when shapes are MXU-tile aligned).
+- ``auto`` (default): pallas flash kernel on TPU for the large-sequence
+  spatial attentions (the HBM-bound hot path — XLA materializes the
+  [B, H, Sq, Sk] score matrix, which at 4096^2 costs more bandwidth than the
+  matmuls); XLA elsewhere (short temporal sequences <= 128 frames pad to a
+  128-wide tile and lose more to padding than flash saves).
+- ``xla``: ``jax.nn.dot_product_attention``.
+- ``pallas``: force the flash kernel in :mod:`anyv2v_tpu.ops.pallas_attention`.
+
+The process-wide default comes from ``ANYV2V_ATTN_BACKEND`` (auto/xla/pallas)
+so benches and drivers can A/B without threading a flag through every module.
 
 Inputs are flattened [B, S, heads*head_dim] (the layout every UNet block
 produces); head split/merge stays inside so module code never touches heads.
@@ -18,10 +23,36 @@ produces); head split/merge stays inside so module code never touches heads.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Minimum query length for the flash kernel to beat XLA on v5e (measured:
+# parity at 256, 1.1-1.6x at 1024-4096; below 256 tile padding dominates).
+_PALLAS_MIN_SQ = 512
+
+
+def default_backend() -> str:
+    return os.environ.get("ANYV2V_ATTN_BACKEND", "auto")
+
+
+def _resolve(backend: Optional[str], sq: int, head_dim: int,
+             mask: Optional[jax.Array]) -> str:
+    if backend is None or backend == "auto":
+        backend = default_backend()
+    if backend != "auto":
+        return backend
+    if (
+        jax.default_backend() == "tpu"
+        and mask is None
+        and sq >= _PALLAS_MIN_SQ
+        and head_dim % 8 == 0
+        and head_dim <= 128   # wider heads (VAE mid attn d=512) fail mosaic
+    ):
+        return "pallas"
+    return "xla"
 
 
 def _split_heads(x: jax.Array, heads: int) -> jax.Array:
@@ -37,7 +68,7 @@ def multi_head_attention(
     bias: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    backend: str = "xla",
+    backend: Optional[str] = None,
 ) -> jax.Array:
     """Attention over flattened-head inputs.
 
@@ -53,6 +84,7 @@ def multi_head_attention(
     k = _split_heads(key, heads)
     v = _split_heads(value, heads)
 
+    backend = _resolve(backend, sq, d // heads, mask)
     if backend == "pallas":
         from .pallas_attention import flash_attention_bshd
 

@@ -3,9 +3,21 @@
 The hot op of every UNet block (SURVEY.md §2.9 item 1): spatial self/cross
 attention over (H/8 * W/8) <= 4096 tokens and temporal attention over <= 128
 frames. Replaces ``F.scaled_dot_product_attention`` / xformers from the
-reference with an online-softmax kernel that keeps K/V for one (batch, head)
-resident in VMEM (4096 x 64 bf16 = 0.5 MB per tensor — well under the 16 MB
-VMEM budget) and streams q blocks through the MXU.
+reference (``i2vgen-xl/pnp_utils.py:208-210``, ``seine/models/attention.py:218-311``)
+with an online-softmax kernel that keeps K/V for one (batch, head) resident
+in VMEM (4096 x 64 bf16 = 0.5 MB per tensor — well under the 16 MB VMEM
+budget) and streams q blocks through the MXU.
+
+Performance notes (measured on v5e):
+- matmuls run at the INPUT dtype with fp32 accumulation
+  (``preferred_element_type``) — casting q/k/v to fp32 first would cut MXU
+  throughput ~8x. The softmax statistics (m, l) and accumulator stay fp32;
+  probabilities are cast back to the value dtype for the PV matmul.
+- key-padding is masked in-kernel from the static valid length — never via a
+  materialized [B, H, Sq, Sk] bias tensor (which costs more HBM traffic than
+  the attention itself at 4096^2).
+- the k loop is unrolled (static trip count <= 32) so the final
+  partially-valid block is the only one paying the mask select.
 
 PnP Q/K substitution happens *before* this kernel as a batch-row remap
 (``anyv2v_tpu.ops.pnp``), so one kernel serves injected and clean steps.
@@ -30,9 +42,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-                  block_k: int, kv_len: int):
-    """One (batch*head, q-block) program: online softmax over k blocks."""
-    q = q_ref[0].astype(jnp.float32)  # [Bq, D]
+                  block_k: int, kv_len: int, kv_valid: int):
+    """One (batch*head, q-block) program: online softmax over k blocks.
+
+    kv_len is the padded K/V length (multiple of block_k); kv_valid the true
+    length — columns >= kv_valid are masked out in the last block only.
+    """
+    q = q_ref[0]                      # [Bq, D], input dtype (bf16 on TPU)
     block_q, d = q.shape
     n_kb = kv_len // block_k
 
@@ -40,32 +56,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
     m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((block_q, 1), jnp.float32)
 
-    def body(kb, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+    for kb in range(n_kb):           # static unroll: n_kb <= 32
+        k = k_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        v = v_ref[0, kb * block_k:(kb + 1) * block_k, :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [Bq, Bk]
+        ) * scale                    # [Bq, Bk] fp32 accumulate from bf16 MXU
         if bias_ref is not None:
-            s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+            s = s + bias_ref[0, :, kb * block_k:(kb + 1) * block_k].astype(jnp.float32)
+        if (kb + 1) * block_k > kv_valid:  # only the final partial block
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), dimension=1
+            )
+            s = jnp.where(col < kv_valid, s, -1e30)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return acc_new, m_new, l_new
-
-    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc, m, l))
+        m = m_new
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_bhsd(q, k, v, bias, scale, block_q, block_k, interpret):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "kv_valid", "interpret")
+)
+def _flash_bhsd(q, k, v, bias, scale, block_q, block_k, kv_valid, interpret):
     """q,k,v: [BH, S, D] (q seq Sq, kv seq Sk, both already padded);
-    bias: [BH, Sq, Sk] or None."""
+    bias: [BH, Sq, Sk_padded] or None."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     grid = (bh, sq // block_q)
@@ -76,16 +97,18 @@ def _flash_bhsd(q, k, v, bias, scale, block_q, block_k, interpret):
         pl.BlockSpec((1, sk, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
+    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k,
+                               kv_len=sk, kv_valid=kv_valid)
     if bias is not None:
         in_specs.append(
             pl.BlockSpec((1, block_q, sk), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         )
         args.append(bias)
-        kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, kv_len=sk)
     else:
-        def kernel(q_ref, k_ref, v_ref, o_ref):
-            _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, scale=scale,
-                          block_k=block_k, kv_len=sk)
+        kernel_with_bias = kernel
+
+        def kernel(q_ref, k_ref, v_ref, o_ref):  # noqa: F811
+            kernel_with_bias(q_ref, k_ref, v_ref, None, o_ref)
 
     return pl.pallas_call(
         kernel,
@@ -134,24 +157,22 @@ def flash_attention_bshd(
     kf = to_bhsd(k, sk_p)
     vf = to_bhsd(v, sk_p)
 
-    need_mask = sk_p != sk
-    if bias is not None or need_mask:
-        bias_full = jnp.zeros((b, h, sq, sk), jnp.float32) if bias is None else (
-            jnp.broadcast_to(bias.astype(jnp.float32), (b, h, sq, sk))
-        )
-        bias_full = jnp.pad(
+    if bias is not None:
+        # bias is rare on this path (T5 rel-pos temporal attention); pad keys
+        # with -1e30 so padded columns vanish, queries with 0.
+        bias_full = jnp.broadcast_to(bias.astype(jnp.float32), (b, h, sq, sk))
+        bias_arg = jnp.pad(
             bias_full.reshape(b * h, sq, sk),
-            ((0, 0), (0, sq_p - sq), (0, sk_p - sk)),
-            constant_values=0.0,
+            ((0, 0), (0, sq_p - sq), (0, 0)), constant_values=0.0,
         )
-        if need_mask:
-            key_pad = jnp.arange(sk_p) >= sk
-            bias_full = jnp.where(key_pad[None, None, :], -1e30, bias_full)
-        bias_arg = bias_full
+        bias_arg = jnp.pad(
+            bias_arg, ((0, 0), (0, 0), (0, sk_p - sk)), constant_values=-1e30
+        )
     else:
-        bias_arg = None
+        bias_arg = None   # padding handled in-kernel from kv_valid
 
     interpret = jax.default_backend() != "tpu"
-    out = _flash_bhsd(qf, kf, vf, bias_arg, float(scale), block_q, block_k, interpret)
+    out = _flash_bhsd(qf, kf, vf, bias_arg, float(scale), block_q, block_k,
+                      sk, interpret)
     out = out[:, :sq].reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
