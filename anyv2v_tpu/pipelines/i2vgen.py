@@ -31,6 +31,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh
 
 from ..models.clip import CLIPTextModel, CLIPVisionModel
 from ..models.unet_i2vgen import I2VGenUNet, PnPFlags
@@ -58,7 +59,16 @@ class PnPConfig:
 @dataclasses.dataclass
 class I2VGenPipeline:
     """Module bundle + compiled drivers. Params are a single dict with keys
-    ``unet / vae / text / vision`` (each a flax variables dict)."""
+    ``unet / vae / text / vision`` (each a flax variables dict).
+
+    ``mesh`` (optional): a ('cfg', 'frame') mesh from
+    :func:`anyv2v_tpu.parallel.mesh.make_mesh`. When set, video tensors are
+    sharded over the frame axis and CFG rows over the cfg axis (SURVEY.md
+    §2.6): spatial UNet layers and the VAE are embarrassingly parallel over
+    frames; temporal layers all-gather over ICI. Params are replicated. The
+    inversion trajectory stays frame-sharded in HBM. With mesh=None the
+    pipeline is the plain single-device program (the CI/CPU default).
+    """
 
     unet: I2VGenUNet
     vae: AutoencoderKL
@@ -67,6 +77,56 @@ class I2VGenPipeline:
     schedule: DiffusionSchedule
     params: Dict[str, Any]
     cache_dtype: jnp.dtype = jnp.float32
+    mesh: Optional[Mesh] = None
+
+    def __post_init__(self):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, self.mesh)
+
+    # ------------------------------------------------------------------
+    # sharding helpers (no-ops when mesh is None)
+    # ------------------------------------------------------------------
+
+    def _video_spec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, "frame", None, None, None)
+
+    def _put_video(self, x: jax.Array) -> jax.Array:
+        """Shard [B, F, h, w, 4] over the frame axis."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(x, NamedSharding(self.mesh, self._video_spec()))
+
+    def _put_replicated(self, x: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import replicated
+
+        return jax.device_put(x, replicated(self.mesh))
+
+    def _constrain_video(self, x: jax.Array) -> jax.Array:
+        """In-jit frame-sharding constraint for scan carries (keeps XLA from
+        drifting to a replicated layout between steps)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, self._video_spec())
+        )
+
+    def _put_frames(self, x: jax.Array) -> jax.Array:
+        """Shard a flat frame batch [N, H, W, C] over all devices (VAE path)."""
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import frames_sharding
+
+        return jax.device_put(x, frames_sharding(self.mesh))
 
     # ------------------------------------------------------------------
     # encoders
@@ -87,7 +147,7 @@ class I2VGenPipeline:
     def encode_video(self, frames01: jax.Array) -> jax.Array:
         """[F, H, W, 3] -> [1, F, h, w, 4] (reference ``encode_vae_video``,
         per-frame loop at ``pipeline_i2vgen_xl.py:565-592`` -> one batch)."""
-        return self._encode_frames(self.params, frames01)[None]
+        return self._encode_frames(self.params, self._put_frames(frames01))[None]
 
     def prepare_image_latents(self, image01: jax.Array, num_frames: int) -> jax.Array:
         """Conditioning-frame latent + (F-1) position-mask frames scaled
@@ -134,9 +194,9 @@ class I2VGenPipeline:
                     image_latents=image_latents,
                     image_embeddings=image_embeds,
                 )
-                x_next = ddim_inverse_step(
+                x_next = self._constrain_video(ddim_inverse_step(
                     self.schedule, x, eps.astype(jnp.float32), t, n_steps
-                )
+                ))
                 return x_next, x_next.astype(self.cache_dtype)
 
             _, traj = jax.lax.scan(body, video_latents.astype(jnp.float32), inv_ts)
@@ -160,7 +220,11 @@ class I2VGenPipeline:
         """
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
         traj = self._invert(
-            self.params, video_latents, text_embeds, image_latents, image_embeds,
+            self.params,
+            self._put_video(video_latents),
+            self._put_replicated(text_embeds),
+            self._put_video(image_latents),
+            self._put_replicated(image_embeds),
             jnp.asarray(inv_ts, jnp.int32), jnp.int32(fps),
         )
         return traj, inv_ts
@@ -192,7 +256,7 @@ class I2VGenPipeline:
                 ).astype(jnp.float32)
                 _eps_src, eps_neg, eps_edit = jnp.split(eps3, 3, axis=0)
                 eps = eps_neg + cfg * (eps_edit - eps_neg)
-                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                x = self._constrain_video(ddim_step(self.schedule, x, eps, t, t_prev))
                 return x, None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
@@ -258,8 +322,11 @@ class I2VGenPipeline:
         )
         fps3 = jnp.full((3,), fps, jnp.int32)
         return self._sample_pnp(
-            self.params, init_latent, traj, text_embeds_all, image_latents_all,
-            image_embeds_all, fps3, step_data, jnp.float32(guidance_scale),
+            self.params, self._put_video(init_latent), traj,
+            self._put_replicated(text_embeds_all),
+            self._put_video(image_latents_all),
+            self._put_replicated(image_embeds_all),
+            fps3, step_data, jnp.float32(guidance_scale),
         )
 
     @cached_property
@@ -284,7 +351,7 @@ class I2VGenPipeline:
                 if do_cfg:
                     eps_neg, eps_cond = jnp.split(eps, 2, axis=0)
                     eps = eps_neg + cfg * (eps_cond - eps_neg)
-                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                x = self._constrain_video(ddim_step(self.schedule, x, eps, t, t_prev))
                 return x, None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
@@ -312,8 +379,11 @@ class I2VGenPipeline:
         n = 2 if do_cfg else 1
         fps_n = jnp.full((n,), fps, jnp.int32)
         return self._sample_plain(
-            self.params, init_latent, text_embeds_all, image_latents_all,
-            image_embeds_all, fps_n, step_data, jnp.float32(guidance_scale),
+            self.params, self._put_video(init_latent),
+            self._put_replicated(text_embeds_all),
+            self._put_video(image_latents_all),
+            self._put_replicated(image_embeds_all),
+            fps_n, step_data, jnp.float32(guidance_scale),
             do_cfg=do_cfg,
         )
 
@@ -335,4 +405,4 @@ class I2VGenPipeline:
         """[1, F, h, w, 4] -> video [F, H, W, 3] in [0, 1] (reference
         ``decode_latents`` chunked loop, ``pipeline_i2vgen_xl.py:443-456`` —
         frames are batch here)."""
-        return self._decode(self.params, latents[0])
+        return self._decode(self.params, self._put_frames(latents[0]))

@@ -159,6 +159,7 @@ def build_i2vgen_pipeline(
     scheduler_kwargs: Dict[str, Any] | None = None,
     param_dtype: jnp.dtype | None = None,
     components: Tuple[str, ...] = ("unet", "vae", "text", "vision"),
+    mesh=None,
 ) -> I2VGenPipeline:
     spec = ARCHS[arch]
     unet_cfg = _override_dtype(spec["unet"], dtype)
@@ -184,7 +185,7 @@ def build_i2vgen_pipeline(
     schedule = make_schedule(**(scheduler_kwargs or {}))
     return I2VGenPipeline(
         unet=unet, vae=vae, text_encoder=text, vision_encoder=vision,
-        schedule=schedule, params=params,
+        schedule=schedule, params=params, mesh=mesh,
     )
 
 

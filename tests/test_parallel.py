@@ -61,3 +61,94 @@ def test_frames_sharding_spec():
     assert xs.sharding.is_fully_replicated is False
     y = jax.device_put(jnp.zeros((3, 3)), replicated(mesh))
     assert y.sharding.is_fully_replicated
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline sharding: the production mesh path (VERDICT r1 item 1)
+# ---------------------------------------------------------------------------
+
+def _tiny_mesh_pipeline(mesh, F, latent_hw=16):
+    from anyv2v_tpu.models.unet_i2vgen import I2VGenUNet, I2VGenUNetConfig
+    from anyv2v_tpu.pipelines import I2VGenPipeline
+    from anyv2v_tpu.schedulers import make_schedule
+
+    cfg = I2VGenUNetConfig(
+        block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+        cross_attention_dim=16, attention_head_dim=4, norm_num_groups=4,
+        num_image_context_tokens=2,
+        pnp_attn_targets=((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)),
+        pnp_conv_target=(1, 1), dtype=jnp.float32,
+    )
+    unet = I2VGenUNet(cfg)
+    rng = np.random.RandomState(0)
+    args = dict(
+        sample=jnp.zeros((1, 2, latent_hw, latent_hw, 4)),
+        timestep=jnp.int32(0),
+        encoder_hidden_states=jnp.zeros((1, 5, 16)),
+        fps=jnp.int32(8),
+        image_latents=jnp.zeros((1, 2, latent_hw, latent_hw, 4)),
+        image_embeddings=jnp.zeros((1, 1, 16)),
+    )
+    params = unet.init(jax.random.PRNGKey(0), **args)
+    pipe = I2VGenPipeline(unet=unet, vae=None, text_encoder=None,
+                          vision_encoder=None, schedule=make_schedule(),
+                          params={"unet": params}, mesh=mesh)
+    data = dict(
+        latents=jnp.asarray(rng.randn(1, F, latent_hw, latent_hw, 4).astype(np.float32)) * 0.2,
+        text=jnp.asarray(rng.randn(1, 5, 16).astype(np.float32)) * 0.1,
+        img_lat=jnp.asarray(rng.randn(1, F, latent_hw, latent_hw, 4).astype(np.float32)) * 0.2,
+        img_emb=jnp.asarray(rng.randn(1, 1, 16).astype(np.float32)) * 0.1,
+    )
+    return pipe, data
+
+
+def _two_phase(pipe, d, n_inv=8, n_samp=4, t_idx=1):
+    traj, inv_ts = pipe.invert(d["latents"], d["text"], d["img_lat"],
+                               d["img_emb"], num_inversion_steps=n_inv)
+    out = pipe.sample_with_pnp(
+        traj, inv_ts,
+        text_embeds_all=jnp.tile(d["text"], (3, 1, 1)),
+        image_latents_all=jnp.tile(d["img_lat"], (3, 1, 1, 1, 1)),
+        image_embeds_all=jnp.tile(d["img_emb"], (3, 1, 1)),
+        num_inference_steps=n_samp, t_idx=t_idx,
+    )
+    return np.asarray(traj), np.asarray(out)
+
+
+@pytest.mark.slow
+def test_full_pipeline_sharded_matches_unsharded():
+    """The complete two-phase flow (invert -> PnP edit) over an 8-device
+    frame-sharded mesh must match the single-device program."""
+    mesh = make_mesh(n_cfg=1, n_frame=8)
+    pipe_m, d = _tiny_mesh_pipeline(mesh, F=8)
+    pipe_1 = type(pipe_m)(unet=pipe_m.unet, vae=None, text_encoder=None,
+                          vision_encoder=None, schedule=pipe_m.schedule,
+                          params=jax.device_get(pipe_m.params), mesh=None)
+    traj_m, out_m = _two_phase(pipe_m, d)
+    traj_1, out_1 = _two_phase(pipe_1, d)
+    np.testing.assert_allclose(traj_m, traj_1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_m, out_1, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_long_video_128_frames_sharded():
+    """128-frame long-video path (reference README.md:182: 16 s / 128 frames
+    on one A6000) runs frame-sharded over the mesh and stays finite."""
+    mesh = make_mesh(n_cfg=1, n_frame=8)
+    pipe, d = _tiny_mesh_pipeline(mesh, F=128, latent_hw=8)
+    d = {k: (jnp.asarray(np.resize(np.asarray(v), (v.shape[0], 128, 8, 8, 4)))
+             if v.ndim == 5 else v) for k, v in d.items()}
+    traj, inv_ts = pipe.invert(d["latents"], d["text"], d["img_lat"],
+                               d["img_emb"], num_inversion_steps=4)
+    assert traj.shape == (4, 1, 128, 8, 8, 4)
+    out = pipe.sample_with_pnp(
+        traj, inv_ts,
+        text_embeds_all=jnp.tile(d["text"], (3, 1, 1)),
+        image_latents_all=jnp.tile(d["img_lat"], (3, 1, 1, 1, 1)),
+        image_embeds_all=jnp.tile(d["img_emb"], (3, 1, 1)),
+        num_inference_steps=4, t_idx=2,
+    )
+    assert out.shape == (1, 128, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # output latent stays frame-sharded on the mesh
+    assert "frame" in str(out.sharding.spec)
