@@ -197,12 +197,14 @@ class FeedForward(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         dim = x.shape[-1]
         inner = dim * self.mult
+        # exact (erf) gelu: torch F.gelu default, NOT flax's tanh approximation
         if self.activation == "geglu":
             h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)
-            h = h * nn.gelu(gate)
+            h = h * nn.gelu(gate, approximate=False)
         elif self.activation == "gelu":
-            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x))
+            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x),
+                        approximate=False)
         else:
             raise ValueError(self.activation)
         return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
@@ -230,14 +232,14 @@ class BasicTransformerBlock(nn.Module):
         qk_transform: Optional[Callable] = None,
         bias: Optional[jax.Array] = None,
     ) -> jax.Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
             self.heads, self.head_dim, dtype=self.dtype, pnp_chunks=self.pnp_chunks,
             name="attn1",
         )(h, inject=inject, qk_transform=qk_transform, bias=bias)
 
         if not self.only_self_attention:
-            h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
             x = x + Attention(
                 self.heads,
                 self.head_dim,
@@ -246,7 +248,7 @@ class BasicTransformerBlock(nn.Module):
                 name="attn2",
             )(h, context=context)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
         return x
 
@@ -341,12 +343,18 @@ class TemporalTransformer(nn.Module):
 
 
 class Downsample2D(nn.Module):
+    """Strided 3x3 conv. ``asymmetric_pad`` replicates the diffusers VAE
+    encoder (Downsample2D with padding=0 plus an explicit F.pad (0,1,0,1) —
+    right/bottom only); the UNets use symmetric padding=1."""
+
     channels: int
     dtype: jnp.dtype = jnp.float32
+    asymmetric_pad: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        return nn.Conv(self.channels, (3, 3), strides=2, padding=1, dtype=self.dtype, name="conv")(x)
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else 1
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=pad, dtype=self.dtype, name="conv")(x)
 
 
 class Upsample2D(nn.Module):

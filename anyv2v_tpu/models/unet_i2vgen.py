@@ -84,6 +84,13 @@ class I2VGenUNetConfig:
     layers_per_block: int = 2
     cross_attention_dim: int = 1024
     attention_head_dim: int = 64
+    # HF-config head semantics (diffusers issue #2011): when set, this is the
+    # HEAD COUNT for block transformers (head_dim = C // heads), matching
+    # `num_attention_heads = num_attention_heads or attention_head_dim` in
+    # diffusers' 3D UNets. None -> heads = C // attention_head_dim (the
+    # TPU-friendly 64-dim split). The weight converter resolves this from the
+    # checkpoint's config.json, so converted checkpoints always match torch.
+    num_attention_heads: Optional[int] = None
     norm_num_groups: int = 32
     num_image_context_tokens: int = 16
     # PnP targets, reference res_dict {1:[1,2], 2:[0,1,2], 3:[0,1,2]}
@@ -104,7 +111,7 @@ class _TemporalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(heads=2, head_dim=self.dim, out_dim=self.dim, dtype=self.dtype, name="attn1")(h)
         x = x + FeedForward(mult=4, activation="gelu", dtype=self.dtype, name="ff")(x)
         return x
@@ -114,6 +121,9 @@ class I2VGenUNet(nn.Module):
     config: I2VGenUNetConfig = I2VGenUNetConfig()
 
     def _heads(self, channels: int) -> Tuple[int, int]:
+        if self.config.num_attention_heads:
+            h = self.config.num_attention_heads
+            return h, channels // h
         hd = self.config.attention_head_dim
         return channels // hd, hd
 
@@ -189,8 +199,11 @@ class I2VGenUNet(nn.Module):
         x = jnp.concatenate([sample.astype(dt), il], axis=-1)  # [B, F, h, w, 8]
         x = fold_frames(x)
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+        # diffusers: TransformerTemporalModel(num_attention_heads=8,
+        # attention_head_dim=<config num_attention_heads>) — 8 heads whose
+        # dim equals the HF head-count value (512 inner at production size)
         x = TemporalTransformer(
-            heads=8, head_dim=cfg.attention_head_dim,
+            heads=8, head_dim=cfg.num_attention_heads or cfg.attention_head_dim,
             cross_attention_dim=cfg.cross_attention_dim,
             groups=cfg.norm_num_groups, dtype=dt, name="transformer_in",
         )(unfold_frames(x, F))

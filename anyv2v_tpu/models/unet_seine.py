@@ -99,7 +99,7 @@ class _SeineTransformerBlock(nn.Module):
         b = bf // f
 
         # --- attn1: spatial self ------------------------------------------
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_k")(h)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_v")(h)
@@ -110,7 +110,7 @@ class _SeineTransformerBlock(nn.Module):
         x = x + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(out)
 
         # --- attn2: cross (SEINE-only injection point) --------------------
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(context)
@@ -122,7 +122,7 @@ class _SeineTransformerBlock(nn.Module):
 
         # --- attn_temp: frames as tokens per pixel + T5 rel-pos bias -------
         h = x.reshape(b, f, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, f, c)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm_temp")(h).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_temp")(h).astype(self.dtype)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_k")(h)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_v")(h)
@@ -144,7 +144,7 @@ class _SeineTransformerBlock(nn.Module):
         out = nn.Dense(c, dtype=self.dtype, name="temp_to_out")(out)
         x = x + out.reshape(b, hw, f, c).transpose(0, 2, 1, 3).reshape(bf, hw, c)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
         return x
 

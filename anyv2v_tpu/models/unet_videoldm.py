@@ -135,7 +135,7 @@ class _SpatialFFBlock(nn.Module):
         bf, hw, c = x.shape
         f = self.num_frames_hint
         b = bf // f
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
 
         if self.condition_on_first_frame:
             ff = h.reshape(b, f, hw, c)[:, 0]                      # [B, HW, C]
@@ -154,14 +154,14 @@ class _SpatialFFBlock(nn.Module):
         attn = multi_head_attention(q, k, v, heads=self.heads)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(attn)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(context)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(context)
         attn = multi_head_attention(q, k, v, heads=self.heads)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn2_to_out")(attn)
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
         return x
 
@@ -304,7 +304,7 @@ class VideoLDMTemporalTransformer(nn.Module):
         tokens = h.reshape(bf, hw, inner)
 
         # --- attn1: temporal self-attention per pixel ----------------------
-        normed = nn.LayerNorm(dtype=jnp.float32, name="norm1")(tokens).astype(self.dtype)
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tokens).astype(self.dtype)
         # [(B F), HW, C'] -> [(B HW), F, C']
         per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
             b * hw, f, inner)
@@ -321,7 +321,7 @@ class VideoLDMTemporalTransformer(nn.Module):
         tokens = tokens + attn_out
 
         # --- attn2: cross-attention to text (per pixel rows) ---------------
-        normed = nn.LayerNorm(dtype=jnp.float32, name="norm2")(tokens).astype(self.dtype)
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tokens).astype(self.dtype)
         per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
             b * hw, f, inner)
         ctx = jnp.repeat(context.astype(self.dtype), hw, axis=0)  # [(B HW), S, D]
@@ -333,7 +333,7 @@ class VideoLDMTemporalTransformer(nn.Module):
         cross = cross.reshape(b, hw, f, inner).transpose(0, 2, 1, 3).reshape(bf, hw, inner)
         tokens = tokens + cross
 
-        normed = nn.LayerNorm(dtype=jnp.float32, name="norm3")(tokens).astype(self.dtype)
+        normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tokens).astype(self.dtype)
         tokens = tokens + FeedForward(dtype=self.dtype, name="ff")(normed)
 
         out = tokens.reshape(bf, h_, w_, inner)

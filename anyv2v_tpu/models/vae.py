@@ -45,7 +45,7 @@ class _MidBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype, name="resnet_0")(x)
+        x = ResnetBlock2D(self.channels, groups=self.groups, eps=1e-6, dtype=self.dtype, name="resnet_0")(x)
         # single-head self-attention over pixels (diffusers VAE mid attention)
         b, h, w, c = x.shape
         hnorm = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="attn_norm")(x)
@@ -53,7 +53,7 @@ class _MidBlock(nn.Module):
         attn = Attention(heads=1, head_dim=c, out_dim=c, qkv_bias=True, dtype=self.dtype,
                          name="attn")(tokens)
         x = x + attn.reshape(b, h, w, c)
-        x = ResnetBlock2D(self.channels, groups=self.groups, dtype=self.dtype, name="resnet_1")(x)
+        x = ResnetBlock2D(self.channels, groups=self.groups, eps=1e-6, dtype=self.dtype, name="resnet_1")(x)
         return x
 
 
@@ -69,10 +69,12 @@ class Encoder(nn.Module):
         )
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, eps=1e-6, dtype=dt,
                                   name=f"down_{i}_resnet_{j}")(x)
             if i < len(cfg.block_out_channels) - 1:
-                x = Downsample2D(ch, dtype=dt, name=f"down_{i}_downsample")(x)
+                # diffusers VAE downsample pads (0,1,0,1), not symmetric
+                x = Downsample2D(ch, dtype=dt, asymmetric_pad=True,
+                                 name=f"down_{i}_downsample")(x)
         x = _MidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups, dt, name="mid")(x)
         x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32,
                          name="conv_norm_out")(x)
@@ -96,7 +98,7 @@ class Decoder(nn.Module):
         x = _MidBlock(rev[0], cfg.norm_num_groups, dt, name="mid")(x)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
+                x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, eps=1e-6, dtype=dt,
                                   name=f"up_{i}_resnet_{j}")(x)
             if i < len(rev) - 1:
                 x = Upsample2D(ch, dtype=dt, name=f"up_{i}_upsample")(x)

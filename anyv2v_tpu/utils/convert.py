@@ -125,3 +125,545 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
                 break
     return {k: v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
             for k, v in obj.items() if hasattr(v, "numpy")}
+
+
+# ===========================================================================
+# UNet / VAE converters
+#
+# Each converter maps a torch/HF state dict (numpy values) onto the matching
+# flax module tree from anyv2v_tpu.models. Reference loading sites:
+# - i2vgen-xl: diffusers I2VGenXLUNet + AutoencoderKL
+#   (/root/reference/i2vgen-xl/run_group_ddim_inversion.py:82-87)
+# - ConsistI2V: the vendored VideoLDMUNet3DConditionModel
+#   (/root/reference/consisti2v/run_ddim_inversion.py:86-89,
+#    consisti2v/consisti2v/models/videoldm_unet.py)
+# - SEINE: SD1.4 subfolders + seine.pt "ema" dict
+#   (/root/reference/seine/run_ddim_inversion.py:69-103)
+# ===========================================================================
+
+
+def t_linear_zero_bias(sd, prefix: str, out_features: int | None = None) -> Tree:
+    """Linear whose flax side always has a bias; zeros when torch lacks it."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    out["bias"] = (np.asarray(sd[f"{prefix}.bias"]) if f"{prefix}.bias" in sd
+                   else np.zeros((w.shape[0],), w.dtype))
+    return out
+
+
+def t_proj_1x1(sd, prefix: str, as_conv: bool) -> Tree:
+    """Transformer proj_in/proj_out: torch may be Conv2d 1x1 or Linear
+    (use_linear_projection); adapt either to the flax module layout."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    if as_conv:
+        kernel = (w.transpose(2, 3, 1, 0) if w.ndim == 4
+                  else w.T[None, None])  # Linear -> 1x1 conv kernel
+    else:
+        kernel = (w[:, :, 0, 0].T if w.ndim == 4 else w.T)
+    out = {"kernel": np.ascontiguousarray(kernel)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _attn(sd, p: str) -> Tree:
+    """diffusers Attention -> layers.Attention {to_q,to_k,to_v,to_out}.
+    torch to_out is Sequential(Linear, Dropout) -> flax single Dense."""
+    return {
+        "to_q": t_linear_zero_bias(sd, f"{p}.to_q") if f"{p}.to_q.bias" in sd
+                else t_linear(sd, f"{p}.to_q"),
+        "to_k": t_linear(sd, f"{p}.to_k"),
+        "to_v": t_linear(sd, f"{p}.to_v"),
+        "to_out": t_linear(sd, f"{p}.to_out.0"),
+    }
+
+
+def _attn_flat(sd, p: str, names=("to_q", "to_k", "to_v", "to_out")) -> Tree:
+    """Same as _attn but for flax modules with flattened attn param names
+    (e.g. attn1_to_q at the block level). Returns {name: linear_tree}."""
+    q, k, v, o = names
+    return {
+        q: t_linear(sd, f"{p}.to_q"),
+        k: t_linear(sd, f"{p}.to_k"),
+        v: t_linear(sd, f"{p}.to_v"),
+        o: t_linear(sd, f"{p}.to_out.0"),
+    }
+
+
+def _ff(sd, p: str) -> Tree:
+    """diffusers FeedForward: geglu -> {net.0.proj, net.2}; gelu the same."""
+    return {
+        "proj_in": t_linear(sd, f"{p}.net.0.proj"),
+        "proj_out": t_linear(sd, f"{p}.net.2"),
+    }
+
+
+def _layernorm(sd, p: str) -> Tree:
+    return t_norm(sd, p)
+
+
+def _resnet(sd, p: str) -> Tree:
+    out = {
+        "norm1": t_norm(sd, f"{p}.norm1"),
+        "conv1": t_conv(sd, f"{p}.conv1"),
+        "norm2": t_norm(sd, f"{p}.norm2"),
+        "conv2": t_conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = t_linear(sd, f"{p}.time_emb_proj")
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = t_conv(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _temp_conv(sd, p: str) -> Tree:
+    """diffusers TemporalConvLayer: convN = Sequential(GroupNorm, SiLU,
+    [Dropout,] Conv3d) -> norm at .0, conv at .2 (conv1) / .3 (conv2-4)."""
+    out: Tree = {}
+    for i in range(1, 5):
+        conv_idx = 2 if i == 1 else 3
+        out[f"norm{i}"] = t_norm(sd, f"{p}.conv{i}.0")
+        out[f"conv{i}"] = t_conv(sd, f"{p}.conv{i}.{conv_idx}")
+    return out
+
+
+def _basic_block(sd, p: str) -> Tree:
+    """diffusers BasicTransformerBlock -> layers.BasicTransformerBlock."""
+    out = {
+        "norm1": _layernorm(sd, f"{p}.norm1"),
+        "attn1": _attn(sd, f"{p}.attn1"),
+        "norm3": _layernorm(sd, f"{p}.norm3"),
+        "ff": _ff(sd, f"{p}.ff"),
+    }
+    if f"{p}.attn2.to_q.weight" in sd:
+        out["norm2"] = _layernorm(sd, f"{p}.norm2")
+        out["attn2"] = _attn(sd, f"{p}.attn2")
+    return out
+
+
+def _spatial_transformer(sd, p: str) -> Tree:
+    """diffusers Transformer2DModel -> layers.SpatialTransformer
+    (proj_in/out are 1x1 convs in the flax module)."""
+    return {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
+        "blocks_0": _basic_block(sd, f"{p}.transformer_blocks.0"),
+        "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
+    }
+
+
+def _temporal_transformer(sd, p: str) -> Tree:
+    """diffusers TransformerTemporalModel -> layers.TemporalTransformer
+    (proj_in/out are Linear on both sides)."""
+    return {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=False),
+        "blocks_0": _basic_block(sd, f"{p}.transformer_blocks.0"),
+        "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=False),
+    }
+
+
+def _timestep_embedding(sd, p: str) -> Tree:
+    return {
+        "linear_1": t_linear(sd, f"{p}.linear_1"),
+        "linear_2": t_linear(sd, f"{p}.linear_2"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# VAE (diffusers AutoencoderKL) — shared by all three backbones
+# ---------------------------------------------------------------------------
+
+
+def _vae_attn(sd, p: str) -> Tuple[Tree, Tree]:
+    """VAE mid attention: modern naming (to_q/group_norm) or pre-0.17
+    (query/key/value/proj_attn). Returns (attn_norm, attn) trees."""
+    if f"{p}.to_q.weight" in sd:
+        norm = t_norm(sd, f"{p}.group_norm")
+        attn = {
+            "to_q": t_linear(sd, f"{p}.to_q"),
+            "to_k": t_linear(sd, f"{p}.to_k"),
+            "to_v": t_linear(sd, f"{p}.to_v"),
+            "to_out": t_linear(sd, f"{p}.to_out.0"),
+        }
+    else:
+        norm = t_norm(sd, f"{p}.group_norm")
+        attn = {
+            "to_q": t_linear(sd, f"{p}.query"),
+            "to_k": t_linear(sd, f"{p}.key"),
+            "to_v": t_linear(sd, f"{p}.value"),
+            "to_out": t_linear(sd, f"{p}.proj_attn"),
+        }
+    return norm, attn
+
+
+def convert_vae(sd: Mapping[str, np.ndarray],
+                block_out_channels: Tuple[int, ...] = (128, 256, 512, 512),
+                layers_per_block: int = 2) -> Tree:
+    """diffusers ``AutoencoderKL`` state dict -> models.vae.AutoencoderKL
+    params (returns the full variables dict {"params": ...})."""
+    n = len(block_out_channels)
+    enc: Tree = {"conv_in": t_conv(sd, "encoder.conv_in")}
+    for i in range(n):
+        for j in range(layers_per_block):
+            enc[f"down_{i}_resnet_{j}"] = _resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            enc[f"down_{i}_downsample"] = {
+                "conv": t_conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+            }
+    mid_norm, mid_attn = _vae_attn(sd, "encoder.mid_block.attentions.0")
+    enc["mid"] = {
+        "resnet_0": _resnet(sd, "encoder.mid_block.resnets.0"),
+        "attn_norm": mid_norm,
+        "attn": mid_attn,
+        "resnet_1": _resnet(sd, "encoder.mid_block.resnets.1"),
+    }
+    enc["conv_norm_out"] = t_norm(sd, "encoder.conv_norm_out")
+    enc["conv_out"] = t_conv(sd, "encoder.conv_out")
+    enc["quant_conv"] = t_conv(sd, "quant_conv")
+
+    dec: Tree = {
+        "post_quant_conv": t_conv(sd, "post_quant_conv"),
+        "conv_in": t_conv(sd, "decoder.conv_in"),
+    }
+    mid_norm, mid_attn = _vae_attn(sd, "decoder.mid_block.attentions.0")
+    dec["mid"] = {
+        "resnet_0": _resnet(sd, "decoder.mid_block.resnets.0"),
+        "attn_norm": mid_norm,
+        "attn": mid_attn,
+        "resnet_1": _resnet(sd, "decoder.mid_block.resnets.1"),
+    }
+    for i in range(n):
+        for j in range(layers_per_block + 1):
+            dec[f"up_{i}_resnet_{j}"] = _resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            dec[f"up_{i}_upsample"] = {
+                "conv": t_conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+            }
+    dec["conv_norm_out"] = t_norm(sd, "decoder.conv_norm_out")
+    dec["conv_out"] = t_conv(sd, "decoder.conv_out")
+    return {"params": {"encoder": enc, "decoder": dec}}
+
+
+# ---------------------------------------------------------------------------
+# i2vgen-xl UNet (diffusers I2VGenXLUNet)
+# ---------------------------------------------------------------------------
+
+
+def resolve_i2vgen_heads(hf_config: Mapping) -> int:
+    """diffusers' head rule (issue #2011): num_attention_heads falls back to
+    attention_head_dim, and the value is the HEAD COUNT for block
+    transformers. Returns the head count to set as
+    I2VGenUNetConfig.num_attention_heads."""
+    return int(hf_config.get("num_attention_heads")
+               or hf_config.get("attention_head_dim", 64))
+
+
+def convert_unet_i2vgen(sd: Mapping[str, np.ndarray],
+                        block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
+                        layers_per_block: int = 2) -> Tree:
+    """diffusers ``I2VGenXLUNet`` state dict -> models.unet_i2vgen.I2VGenUNet
+    params. Sequential-index keys follow diffusers 0.26 module layout."""
+    n = len(block_out_channels)
+    p: Tree = {
+        "conv_in": t_conv(sd, "conv_in"),
+        "transformer_in": _temporal_transformer(sd, "transformer_in"),
+        "time_embedding": _timestep_embedding(sd, "time_embedding"),
+        # fps_embedding is Sequential(Linear, SiLU, Linear)
+        "fps_embedding": {
+            "linear_1": t_linear(sd, "fps_embedding.0"),
+            "linear_2": t_linear(sd, "fps_embedding.2"),
+        } if "fps_embedding.0.weight" in sd else _timestep_embedding(sd, "fps_embedding"),
+        # image_latents_proj_in: Sequential(Conv, SiLU, Conv, SiLU, Conv)
+        "img_lat_proj1": t_conv(sd, "image_latents_proj_in.0"),
+        "img_lat_proj2": t_conv(sd, "image_latents_proj_in.2"),
+        "img_lat_proj3": t_conv(sd, "image_latents_proj_in.4"),
+        # image_latents_context_embedding: Conv, SiLU, AvgPool, Conv, SiLU, Conv
+        "img_ctx_conv1": t_conv(sd, "image_latents_context_embedding.0"),
+        "img_ctx_conv2": t_conv(sd, "image_latents_context_embedding.3"),
+        "img_ctx_conv3": t_conv(sd, "image_latents_context_embedding.5"),
+        # context_embedding: Sequential(Linear, SiLU, Linear)
+        "context_embedding_1": t_linear(sd, "context_embedding.0"),
+        "context_embedding_2": t_linear(sd, "context_embedding.2"),
+        "conv_norm_out": t_norm(sd, "conv_norm_out"),
+        "conv_out": t_conv(sd, "conv_out"),
+    }
+    # image_latents_temporal_encoder: norm1, attn1, gelu ff
+    te = "image_latents_temporal_encoder"
+    p["image_latents_temporal_encoder"] = {
+        "norm1": _layernorm(sd, f"{te}.norm1"),
+        "attn1": {
+            "to_q": t_linear(sd, f"{te}.attn1.to_q"),
+            "to_k": t_linear(sd, f"{te}.attn1.to_k"),
+            "to_v": t_linear(sd, f"{te}.attn1.to_v"),
+            "to_out": t_linear_zero_bias(sd, f"{te}.attn1.to_out.0"),
+        },
+        "ff": _ff(sd, f"{te}.ff"),
+    }
+    for i in range(n):
+        is_cross = i < n - 1
+        base = f"down_blocks.{i}"
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            p[f"down_{i}_tempconv_{j}"] = _temp_conv(sd, f"{base}.temp_convs.{j}")
+            if is_cross:
+                p[f"down_{i}_attn_{j}"] = _spatial_transformer(sd, f"{base}.attentions.{j}")
+                p[f"down_{i}_tempattn_{j}"] = _temporal_transformer(sd, f"{base}.temp_attentions.{j}")
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
+    p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_tempconv_0"] = _temp_conv(sd, "mid_block.temp_convs.0")
+    p["mid_attn"] = _spatial_transformer(sd, "mid_block.attentions.0")
+    p["mid_tempattn"] = _temporal_transformer(sd, "mid_block.temp_attentions.0")
+    p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
+    p["mid_tempconv_1"] = _temp_conv(sd, "mid_block.temp_convs.1")
+    for i in range(n):
+        is_cross = i > 0
+        base = f"up_blocks.{i}"
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            p[f"up_{i}_tempconv_{j}"] = _temp_conv(sd, f"{base}.temp_convs.{j}")
+            if is_cross:
+                p[f"up_{i}_attn_{j}"] = _spatial_transformer(sd, f"{base}.attentions.{j}")
+                p[f"up_{i}_tempattn_{j}"] = _temporal_transformer(sd, f"{base}.temp_attentions.{j}")
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# ConsistI2V VideoLDM UNet (vendored reference:
+# consisti2v/consisti2v/models/videoldm_unet.py)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_temporal_resnet(sd, p: str) -> Tree:
+    """Reference TemporalResnetBlock (videoldm_unet_blocks.py:225-313):
+    norm1/conv1/norm2/conv2/alpha; its never-used time_emb_proj is skipped."""
+    return {
+        "norm1": t_norm(sd, f"{p}.norm1"),
+        "conv1": t_conv(sd, f"{p}.conv1"),
+        "norm2": t_norm(sd, f"{p}.norm2"),
+        "conv2": t_conv(sd, f"{p}.conv2"),
+        "alpha": np.asarray(sd[f"{p}.alpha"]).reshape(1),
+    }
+
+
+def _videoldm_spatial_block(sd, p: str) -> Tree:
+    """BasicConditionalTransformerBlock spatial -> _SpatialFFBlock (flattened
+    attn names)."""
+    out = {
+        "norm1": t_norm(sd, f"{p}.norm1"),
+        "norm2": t_norm(sd, f"{p}.norm2"),
+        "norm3": t_norm(sd, f"{p}.norm3"),
+        "ff": _ff(sd, f"{p}.ff"),
+    }
+    for attn in ("attn1", "attn2"):
+        out[f"{attn}_to_q"] = t_linear(sd, f"{p}.{attn}.to_q")
+        out[f"{attn}_to_k"] = t_linear(sd, f"{p}.{attn}.to_k")
+        out[f"{attn}_to_v"] = t_linear(sd, f"{p}.{attn}.to_v")
+        out[f"{attn}_to_out"] = t_linear(sd, f"{p}.{attn}.to_out.0")
+    return out
+
+
+def _videoldm_spatial_transformer(sd, p: str) -> Tree:
+    return {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
+        "block": _videoldm_spatial_block(sd, f"{p}.transformer_blocks.0"),
+        "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
+    }
+
+
+def _videoldm_temporal_transformer(sd, p: str) -> Tree:
+    """Temporal Transformer2DConditionModel (alpha-gated whole output) ->
+    VideoLDMTemporalTransformer. attn1 = TemporalConditionalAttention."""
+    b = f"{p}.transformer_blocks.0"
+    out = {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
+        "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
+        "alpha": np.asarray(sd[f"{p}.alpha"]).reshape(1),
+        "norm1": t_norm(sd, f"{b}.norm1"),
+        "norm2": t_norm(sd, f"{b}.norm2"),
+        "norm3": t_norm(sd, f"{b}.norm3"),
+        "ff": _ff(sd, f"{b}.ff"),
+        "attn1": _attn(sd, f"{b}.attn1"),
+    }
+    for name in ("to_q", "to_k", "to_v"):
+        out[f"attn2_{name}"] = t_linear(sd, f"{b}.attn2.{name}")
+    out["attn2_to_out"] = t_linear(sd, f"{b}.attn2.to_out.0")
+    return out
+
+
+def convert_unet_videoldm(sd: Mapping[str, np.ndarray],
+                          block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
+                          layers_per_block: int = 2,
+                          use_temporal: bool = True,
+                          use_frame_stride_condition: bool = True) -> Tree:
+    """ConsistI2V ``VideoLDMUNet3DConditionModel`` state dict ->
+    models.unet_videoldm.VideoLDMUNet params. Reference module lists:
+    resnets / conv3ds / attentions / tempo_attns
+    (videoldm_unet_blocks.py:438-492,645-693,868-870)."""
+    n = len(block_out_channels)
+    p: Tree = {
+        "conv_in": t_conv(sd, "conv_in"),
+        "time_embedding": _timestep_embedding(sd, "time_embedding"),
+        "conv_norm_out": t_norm(sd, "conv_norm_out"),
+        "conv_out": t_conv(sd, "conv_out"),
+    }
+    if use_frame_stride_condition:
+        fs = _timestep_embedding(sd, "frame_stride_embedding")
+        p["frame_stride_fc1"] = fs["linear_1"]
+        p["frame_stride_fc2"] = fs["linear_2"]
+    for i in range(n):
+        is_cross = i < n - 1
+        base = f"down_blocks.{i}"
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if use_temporal:
+                p[f"down_{i}_conv3d_{j}"] = _alpha_temporal_resnet(sd, f"{base}.conv3ds.{j}")
+            if is_cross:
+                p[f"down_{i}_attn_{j}"] = _videoldm_spatial_transformer(sd, f"{base}.attentions.{j}")
+                if use_temporal:
+                    p[f"down_{i}_tempattn_{j}"] = _videoldm_temporal_transformer(
+                        sd, f"{base}.tempo_attns.{j}")
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
+    p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
+    if use_temporal:
+        p["mid_conv3d_0"] = _alpha_temporal_resnet(sd, "mid_block.conv3ds.0")
+        p["mid_conv3d_1"] = _alpha_temporal_resnet(sd, "mid_block.conv3ds.1")
+    p["mid_attn"] = _videoldm_spatial_transformer(sd, "mid_block.attentions.0")
+    for i in range(n):
+        is_cross = i > 0
+        base = f"up_blocks.{i}"
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if use_temporal:
+                p[f"up_{i}_conv3d_{j}"] = _alpha_temporal_resnet(sd, f"{base}.conv3ds.{j}")
+            if is_cross:
+                p[f"up_{i}_attn_{j}"] = _videoldm_spatial_transformer(sd, f"{base}.attentions.{j}")
+                if use_temporal:
+                    p[f"up_{i}_tempattn_{j}"] = _videoldm_temporal_transformer(
+                        sd, f"{base}.tempo_attns.{j}")
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# SEINE UNet3D (vendored reference: seine/models/unet.py, seine.pt "ema")
+# ---------------------------------------------------------------------------
+
+
+def _seine_block(sd, p: str) -> Tree:
+    """seine BasicTransformerBlock (attention.py:439): attn1 spatial, attn2
+    cross, attn_temp with T5 rel-pos bias table, geglu ff."""
+    out = {
+        "norm1": t_norm(sd, f"{p}.norm1"),
+        "norm2": t_norm(sd, f"{p}.norm2"),
+        "norm_temp": t_norm(sd, f"{p}.norm_temp"),
+        "norm3": t_norm(sd, f"{p}.norm3"),
+        "ff": _ff(sd, f"{p}.ff"),
+        # TemporalAttention.time_rel_pos_bias.relative_attention_bias:
+        # nn.Embedding(num_buckets, heads) (attention.py:940)
+        "time_rel_pos_bias": np.asarray(
+            sd[f"{p}.attn_temp.time_rel_pos_bias.relative_attention_bias.weight"]
+        ),
+    }
+    for src, dst in (("attn1", "attn1"), ("attn2", "attn2"), ("attn_temp", "temp")):
+        out[f"{dst}_to_q"] = t_linear(sd, f"{p}.{src}.to_q")
+        out[f"{dst}_to_k"] = t_linear(sd, f"{p}.{src}.to_k")
+        out[f"{dst}_to_v"] = t_linear(sd, f"{p}.{src}.to_v")
+        out[f"{dst}_to_out"] = t_linear(sd, f"{p}.{src}.to_out.0")
+    return out
+
+
+def _seine_transformer(sd, p: str) -> Tree:
+    return {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
+        "block": _seine_block(sd, f"{p}.transformer_blocks.0"),
+        "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
+    }
+
+
+def convert_unet_seine(sd: Mapping[str, np.ndarray],
+                       block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
+                       layers_per_block: int = 2) -> Tree:
+    """SEINE ``UNet3DConditionModel`` state dict (seine.pt ``["ema"]``) ->
+    models.unet_seine.SeineUNet params. InflatedConv3d weights are plain 2D
+    conv weights (seine/models/resnet.py:13-22)."""
+    n = len(block_out_channels)
+    p: Tree = {
+        "conv_in": t_conv(sd, "conv_in"),
+        "time_embedding": _timestep_embedding(sd, "time_embedding"),
+        "conv_norm_out": t_norm(sd, "conv_norm_out"),
+        "conv_out": t_conv(sd, "conv_out"),
+    }
+    for i in range(n):
+        is_cross = i < n - 1
+        base = f"down_blocks.{i}"
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if is_cross:
+                p[f"down_{i}_attn_{j}"] = _seine_transformer(sd, f"{base}.attentions.{j}")
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
+    p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_attn"] = _seine_transformer(sd, "mid_block.attentions.0")
+    p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
+    for i in range(n):
+        is_cross = i > 0
+        base = f"up_blocks.{i}"
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if is_cross:
+                p[f"up_{i}_attn_{j}"] = _seine_transformer(sd, f"{base}.attentions.{j}")
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+
+def tree_shapes(tree) -> Dict[str, tuple]:
+    """Flat {path: shape} of an arbitrary nested dict of arrays."""
+    out: Dict[str, tuple] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else str(k))
+        else:
+            out[prefix] = tuple(np.shape(node))
+
+    walk(tree, "")
+    return out
+
+
+def assert_params_match(expected_tree, converted_tree) -> None:
+    """Structural validation: the converted tree must have exactly the keys
+    and shapes the flax module expects (from init or eval_shape)."""
+    want = tree_shapes(expected_tree)
+    got = tree_shapes(converted_tree)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    bad = sorted(k for k in set(want) & set(got) if want[k] != got[k])
+    msgs = []
+    if missing:
+        msgs.append(f"missing {len(missing)}: {missing[:8]}")
+    if extra:
+        msgs.append(f"unexpected {len(extra)}: {extra[:8]}")
+    if bad:
+        msgs.append(
+            "shape mismatches: "
+            + ", ".join(f"{k} want {want[k]} got {got[k]}" for k in bad[:8])
+        )
+    if msgs:
+        raise ValueError("converted params do not match module: " + "; ".join(msgs))
