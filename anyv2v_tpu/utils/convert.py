@@ -667,3 +667,70 @@ def assert_params_match(expected_tree, converted_tree) -> None:
         )
     if msgs:
         raise ValueError("converted params do not match module: " + "; ".join(msgs))
+
+
+# ---------------------------------------------------------------------------
+# SD1.5 / SDXL 2D UNet (first-frame editors: instruct-pix2pix, MagicBrush,
+# CosXL — SURVEY.md §2.4; HF checkpoints timbrooks/instruct-pix2pix,
+# vinesmsuic/magicbrush-jul7, stabilityai/cosxl "cosxl_edit.safetensors")
+# ---------------------------------------------------------------------------
+
+
+def _spatial_transformer_deep(sd, p: str, depth: int) -> Tree:
+    """Transformer2DModel with `depth` transformer blocks (SDXL: 2/10)."""
+    out = {
+        "norm": t_norm(sd, f"{p}.norm"),
+        "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
+        "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
+    }
+    for k in range(depth):
+        out[f"blocks_{k}"] = _basic_block(sd, f"{p}.transformer_blocks.{k}")
+    return out
+
+
+def convert_unet_sd(sd: Mapping[str, np.ndarray],
+                    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
+                    layers_per_block: int = 2,
+                    cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False),
+                    transformer_depth=1,
+                    addition_embed: str = "none") -> Tree:
+    """diffusers ``UNet2DConditionModel`` (SD1.5 ip2p / SDXL) state dict ->
+    models.unet_sd.SDUNet params."""
+    n = len(block_out_channels)
+
+    def depth_for(i):
+        return (transformer_depth[i] if isinstance(transformer_depth, (tuple, list))
+                else transformer_depth)
+
+    p: Tree = {
+        "conv_in": t_conv(sd, "conv_in"),
+        "time_embedding": _timestep_embedding(sd, "time_embedding"),
+        "conv_norm_out": t_norm(sd, "conv_norm_out"),
+        "conv_out": t_conv(sd, "conv_out"),
+    }
+    if addition_embed == "sdxl":
+        p["add_embedding"] = _timestep_embedding(sd, "add_embedding")
+    for i in range(n):
+        base = f"down_blocks.{i}"
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if cross_attn_blocks[i]:
+                p[f"down_{i}_attn_{j}"] = _spatial_transformer_deep(
+                    sd, f"{base}.attentions.{j}", depth_for(i))
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
+    p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_attn"] = _spatial_transformer_deep(sd, "mid_block.attentions.0",
+                                              depth_for(n - 1))
+    p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
+    rev_cross = tuple(reversed(cross_attn_blocks))
+    for i in range(n):
+        base = f"up_blocks.{i}"
+        for j in range(layers_per_block + 1):
+            p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if rev_cross[i]:
+                p[f"up_{i}_attn_{j}"] = _spatial_transformer_deep(
+                    sd, f"{base}.attentions.{j}", depth_for(n - 1 - i))
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
+    return {"params": p}

@@ -278,3 +278,103 @@ def load_params(path: str):
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(data[name])
     return tree
+
+
+# ===========================================================================
+# First-frame image editors (AnyV2V stage one, SURVEY.md §2.4)
+# ===========================================================================
+
+from ..models.unet_sd import SD15_IP2P, SDXL_COSXL, SDUNet, SDUNetConfig  # noqa: E402
+from ..pipelines.image_edit import CosXLEditPipeline, InstructPix2PixPipeline  # noqa: E402
+
+# SD1.5 text encoder (openai/clip-vit-large-patch14: quick_gelu)
+SD15_TEXT = CLIPTextConfig(hidden_size=768, intermediate_size=3072,
+                           num_layers=12, num_heads=12, hidden_act="quick_gelu",
+                           projection_dim=None)
+
+IMAGE_EDIT_ARCHS = {
+    # timbrooks/instruct-pix2pix and vinesmsuic/magicbrush-jul7 share the arch
+    "instructpix2pix": dict(unet=SD15_IP2P, vae=VAEConfig(), text=SD15_TEXT),
+    "magicbrush": dict(unet=SD15_IP2P, vae=VAEConfig(), text=SD15_TEXT),
+    "cosxl": dict(unet=SDXL_COSXL,
+                  vae=VAEConfig(scaling_factor=0.13025),  # SDXL VAE scale
+                  text=None),
+    "instructpix2pix-tiny": dict(
+        unet=SDUNetConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                          cross_attention_dim=16, num_attention_heads=2,
+                          norm_num_groups=4, dtype=jnp.float32),
+        vae=VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                      norm_num_groups=4, dtype=jnp.float32),
+        text=CLIPTextConfig(vocab_size=49408, hidden_size=16, intermediate_size=32,
+                            num_layers=1, num_heads=2, projection_dim=None),
+    ),
+    "cosxl-tiny": dict(
+        unet=SDUNetConfig(block_out_channels=(8, 16, 16), layers_per_block=1,
+                          cross_attention_dim=16, num_attention_heads=(2, 2, 2),
+                          transformer_depth=(1, 1, 2),
+                          cross_attn_blocks=(False, True, True),
+                          norm_num_groups=4, addition_embed="sdxl",
+                          addition_time_embed_dim=8,
+                          projection_class_embeddings_input_dim=16 + 6 * 8,
+                          dtype=jnp.float32),
+        vae=VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                      norm_num_groups=4, scaling_factor=0.13025,
+                      dtype=jnp.float32),
+        text=None,
+    ),
+}
+IMAGE_EDIT_ARCHS["magicbrush-tiny"] = IMAGE_EDIT_ARCHS["instructpix2pix-tiny"]
+
+
+def build_image_edit_pipeline(
+    model: str = "instructpix2pix",
+    init: str = "random",
+    seed: int = 0,
+    dtype: jnp.dtype = jnp.bfloat16,
+    pooled_dim: int | None = None,
+):
+    """Build a first-frame editor (reference ``edit_image.py --model`` names:
+    instructpix2pix / magicbrush / cosxl; '-tiny' variants for CI)."""
+    spec = IMAGE_EDIT_ARCHS[model]
+    unet_cfg = _override_dtype(spec["unet"], dtype)
+    vae_cfg = _override_dtype(spec["vae"], dtype)
+    if unet_cfg.dtype == jnp.float32 or "tiny" in model:
+        unet_cfg, vae_cfg = spec["unet"], spec["vae"]  # tiny stays fp32
+
+    unet = SDUNet(unet_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    is_sdxl = unet_cfg.addition_embed == "sdxl"
+    text_cfg = spec["text"]
+    text = CLIPTextModel(text_cfg) if text_cfg is not None else None
+
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        hw = 64  # latent 8x8: smallest size whose 3 downsamples stay mirrored
+        unet_args = dict(
+            sample=jnp.zeros((1, hw // 8, hw // 8, unet_cfg.in_channels)),
+            timestep=jnp.float32(1.0),
+            encoder_hidden_states=jnp.zeros((1, 4, unet_cfg.cross_attention_dim)),
+        )
+        if is_sdxl:
+            pd = pooled_dim or (1280 if "tiny" not in model else 16)
+            unet_args["added_text_embeds"] = jnp.zeros((1, pd))
+            unet_args["added_time_ids"] = jnp.zeros((1, 6))
+        params = {
+            "unet": fast_random_params(lambda: unet.init(key, **unet_args), seed),
+            "vae": fast_random_params(
+                lambda: vae.init(key, jnp.zeros((1, 64, 64, 3))), seed + 1),
+        }
+        if text is not None:
+            params["text"] = fast_random_params(
+                lambda: text.init(key, jnp.zeros((1, 4), jnp.int32)), seed + 2)
+    elif os.path.exists(init):
+        params = load_params(init)
+    else:
+        raise ValueError(f"unknown init: {init}")
+
+    schedule = make_schedule()
+    if is_sdxl:
+        return CosXLEditPipeline(unet=unet, vae=vae, schedule=schedule,
+                                 params=params)
+    return InstructPix2PixPipeline(unet=unet, vae=vae, text_encoder=text,
+                                   schedule=schedule, params=params)
