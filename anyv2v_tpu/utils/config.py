@@ -125,3 +125,17 @@ def load_group_configs(template_path: str, group_json_path: str) -> List[ConfigN
             continue
         configs.append(resolve(merge(template, entry)))
     return configs
+
+
+def to_yaml(cfg: Any) -> str:
+    """Serialize a (possibly ConfigNode-nested) config back to YAML —
+    provenance files (reference seine/run_ddim_inversion.py:320-329)."""
+
+    def plain(obj: Any) -> Any:
+        if isinstance(obj, Mapping):
+            return {k: plain(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [plain(v) for v in obj]
+        return obj
+
+    return yaml.safe_dump(plain(cfg), sort_keys=False)

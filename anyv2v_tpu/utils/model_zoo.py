@@ -378,3 +378,76 @@ def build_image_edit_pipeline(
                                  params=params)
     return InstructPix2PixPipeline(unet=unet, vae=vae, text_encoder=text,
                                    schedule=schedule, params=params)
+
+
+# ===========================================================================
+# SEINE backbone (seine.pt EMA on SD1.4; SURVEY.md §2.3)
+# ===========================================================================
+
+from ..models.unet_seine import SeineUNet, SeineUNetConfig  # noqa: E402
+from ..pipelines.seine import SeinePipeline  # noqa: E402
+
+SEINE = dict(
+    unet=SeineUNetConfig(),             # 9-ch input, 768 ctx (SD1.4 CLIP-L)
+    vae=VAEConfig(),
+    text=SD15_TEXT,                     # SD1.4 uses the same CLIP ViT-L
+)
+SEINE_TINY = dict(
+    unet=SeineUNetConfig(
+        block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+        cross_attention_dim=16, num_attention_heads=2, norm_num_groups=4,
+        pnp_attn_targets=((1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)),
+        pnp_conv_target=(1, 1), dtype=jnp.float32,
+    ),
+    vae=VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                  norm_num_groups=4, dtype=jnp.float32),
+    text=CLIPTextConfig(vocab_size=49408, hidden_size=16, intermediate_size=32,
+                        num_layers=1, num_heads=2, projection_dim=None),
+)
+SEINE_ARCHS = {"seine": SEINE, "seine-tiny": SEINE_TINY}
+
+# SEINE scheduler: plain linear betas 1e-4..0.02
+# (seine/configs/ddim_inversion.yaml:26-28), unlike the SD scaled_linear
+SEINE_SCHEDULER = dict(beta_start=1e-4, beta_end=0.02, beta_schedule="linear")
+
+
+def build_seine_pipeline(
+    arch: str = "seine",
+    init: str = "random",
+    seed: int = 0,
+    dtype: jnp.dtype = jnp.bfloat16,
+    scheduler_kwargs: Dict[str, Any] | None = None,
+) -> SeinePipeline:
+    spec = SEINE_ARCHS[arch]
+    unet_cfg = spec["unet"] if "tiny" in arch else _override_dtype(spec["unet"], dtype)
+    vae_cfg = spec["vae"] if "tiny" in arch else _override_dtype(spec["vae"], dtype)
+    text_cfg = spec["text"]
+    unet = SeineUNet(unet_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    text = CLIPTextModel(text_cfg)
+
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        params = {
+            "unet": fast_random_params(
+                lambda: unet.init(
+                    key,
+                    sample=jnp.zeros((1, 2, 16, 16, unet_cfg.in_channels)),
+                    timestep=jnp.int32(0),
+                    encoder_hidden_states=jnp.zeros((1, 4, text_cfg.hidden_size
+                                                     if "tiny" in arch
+                                                     else unet_cfg.cross_attention_dim)),
+                ), seed),
+            "vae": fast_random_params(
+                lambda: vae.init(key, jnp.zeros((1, 64, 64, 3))), seed + 1),
+            "text": fast_random_params(
+                lambda: text.init(key, jnp.zeros((1, 4), jnp.int32)), seed + 2),
+        }
+    elif os.path.exists(init):
+        params = load_params(init)
+    else:
+        raise ValueError(f"unknown init: {init}")
+
+    schedule = make_schedule(**{**SEINE_SCHEDULER, **(scheduler_kwargs or {})})
+    return SeinePipeline(unet=unet, vae=vae, text_encoder=text,
+                         schedule=schedule, params=params)
