@@ -80,10 +80,7 @@ def main(argv=None):
 
     rc = cfg.get("recon_config")
     if rc and rc.get("enable_recon", True):
-        from ..schedulers import sampling_timesteps
-
         from ..pipelines.consisti2v import guidance_mode
-        from ..pipelines.i2vgen import PnPConfig
 
         t_idx = int(rc.get("ddim_init_latents_t_idx", 0))
         cfg_txt = float(rc.get("cfg_txt", 1.0))
@@ -92,18 +89,33 @@ def main(argv=None):
         cond = encode_prompt(pipe, tokenizer, rc.get("prompt", ""))
         neg = encode_prompt(pipe, tokenizer, rc.get("negative_prompt", ""))
         if mode is None:
-            text_all = jnp.concatenate([text, cond])
+            text_all = cond
         elif mode == "text":
-            text_all = jnp.concatenate([text, neg, cond])
+            text_all = jnp.concatenate([neg, cond])
         else:
-            text_all = jnp.concatenate([text, neg, neg, cond])
-        out = pipe.sample_with_pnp(
-            traj, inv_ts, text_all,
-            edited_ff_latent=latents[:, :1], src_ff_latent=latents[:, :1],
-            num_inference_steps=int(rc.n_steps), t_idx=t_idx,
+            text_all = jnp.concatenate([neg, neg, cond])
+        # plain generation (reference __call__ recon, run_ddim_inversion.py:
+        # 121-137) seeded from the cached inverted latent at timesteps[t_idx]
+        from ..schedulers import sampling_timesteps
+
+        ts = sampling_timesteps(pipe.schedule, int(rc.n_steps))
+        t_to_row = {int(t): i for i, t in enumerate(inv_ts)}
+        # cache row = [clean frame0 | inverted frames 1..]; frame 0 feeds the
+        # image-uncond row (only used when cfg_img > 1)
+        init_latent = traj[t_to_row[int(ts[t_idx])]]
+        out = pipe.sample(
+            first_frame_latent=latents[:, :1],
+            text_embeds_all=text_all,
+            num_frames=int(cfg.n_frames),
+            num_inference_steps=int(rc.n_steps),
             cfg_txt=cfg_txt, cfg_img=cfg_img,
-            pnp=PnPConfig(0.0, 0.0, 0.0),  # plain reconstruction, no injection
             frame_stride=int(rc.get("frame_stride", 3)),
+            noise_sampling_method=str(rc.get("noise_sampling_method", "vanilla")),
+            noise_alpha=float(rc.get("noise_alpha", 1.0)),
+            use_frameinit=bool(rc.get("use_frameinit", False)),
+            frameinit_noise_level=int(rc.get("frameinit_noise_level", 999)),
+            init_latent=init_latent,
+            t_idx=t_idx,
         )
         video = np.asarray(pipe.decode_latents(out))
         os.makedirs(cfg.output_dir, exist_ok=True)

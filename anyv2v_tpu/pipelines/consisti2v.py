@@ -268,6 +268,102 @@ class ConsistI2VPipeline:
         )
         return jnp.concatenate([edited_ff_latent.astype(out.dtype), out], axis=1)
 
+    # -- plain generation (reference __call__, :469-700) --------------------
+
+    @cached_property
+    def _sample_plain(self):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("mode",))
+        def fn(params, init_latent, noisy_ff, text_all, ff, frame_stride,
+               step_data, cfg_txt, cfg_img, rescale, *, mode):
+            n_chunks = {None: 1, "text": 2, "both": 3}[mode]
+            unet = self._unet_for_chunks(max(n_chunks, 2))
+
+            def body(x, step):
+                t, t_prev = step
+                if mode is None:
+                    inp, ffl = x, ff
+                elif mode == "text":
+                    inp = jnp.concatenate([x, x], axis=0)
+                    ffl = jnp.concatenate([ff, ff], axis=0)
+                else:
+                    inp = jnp.concatenate([x, x, x], axis=0)
+                    # rows [uncond, img, both]; the image-uncond row uses the
+                    # NOISY frame 0 split off the initial noise (:654-661)
+                    ffl = jnp.concatenate([noisy_ff, ff, ff], axis=0)
+                eps_all = unet.apply(
+                    params["unet"], sample=inp, timestep=t,
+                    encoder_hidden_states=text_all, first_frame_latents=ffl,
+                    frame_stride=frame_stride,
+                ).astype(jnp.float32)
+                if mode is None:
+                    eps = eps_all
+                elif mode == "text":
+                    e_u, e_t = jnp.split(eps_all, 2, axis=0)
+                    eps = e_u + cfg_txt * (e_t - e_u)
+                    eps = jnp.where(rescale > 0.0,
+                                    rescale_noise_cfg(eps, e_t, rescale), eps)
+                else:
+                    e_u, e_i, e_b = jnp.split(eps_all, 3, axis=0)
+                    eps = e_u + cfg_img * (e_i - e_u) + cfg_txt * (e_b - e_i)
+                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
+            return out
+
+        return fn
+
+    def sample(
+        self,
+        first_frame_latent: jax.Array,   # [1, 1, h, w, 4] clean (encoded image)
+        text_embeds_all: jax.Array,      # rows: [text] | [uncond, text] |
+                                         # [uncond, uncond, text]
+        num_frames: int = 16,
+        num_inference_steps: int = 50,
+        cfg_txt: float = 7.5,
+        cfg_img: float = 1.0,
+        guidance_rescale: float = 0.0,
+        frame_stride: int = 3,
+        key: Optional[jax.Array] = None,
+        noise_sampling_method: str = "vanilla",
+        noise_alpha: float = 1.0,
+        use_frameinit: bool = False,
+        frameinit_noise_level: int = 999,
+        init_latent: Optional[jax.Array] = None,
+        t_idx: int = 0,
+    ) -> jax.Array:
+        """Plain image-to-video generation (reference ``__call__``,
+        ``pipeline_video_editing.py:469``): sample (optionally pyoco) noise,
+        optionally FreeInit-reinitialize, split frame 0 off as the noisy
+        image-uncond conditioning row, denoise frames 1.., re-attach the
+        clean first-frame latent."""
+        mode = guidance_mode(cfg_txt, cfg_img)
+        h, w = first_frame_latent.shape[2:4]
+        if init_latent is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            noise = sample_video_noise(
+                key, (1, num_frames, h, w, 4), noise_sampling_method, noise_alpha)
+            if use_frameinit:
+                noise = self.apply_frameinit(
+                    noise, first_frame_latent, noise_level=frameinit_noise_level)
+            init_latent = noise
+        noisy_ff = init_latent[:, :1].astype(jnp.float32)
+        state = init_latent[:, 1:]
+
+        ts = sampling_timesteps(self.schedule, num_inference_steps)[t_idx:]
+        step_ratio = self.schedule.num_train_timesteps // num_inference_steps
+        step_data = (jnp.asarray(ts, jnp.int32),
+                     jnp.asarray(ts - step_ratio, jnp.int32))
+        out = self._sample_plain(
+            self.params, state, noisy_ff, text_embeds_all,
+            first_frame_latent.astype(jnp.float32), jnp.int32(frame_stride),
+            step_data, jnp.float32(cfg_txt), jnp.float32(cfg_img),
+            jnp.float32(guidance_rescale), mode=mode,
+        )
+        return jnp.concatenate([first_frame_latent.astype(out.dtype), out], axis=1)
+
     # -- FreeInit ---------------------------------------------------------------
 
     def apply_frameinit(
@@ -293,3 +389,45 @@ class ConsistI2VPipeline:
             lpf = FILTERS[filter_type]((f, h, w), d_s=d_s, d_t=d_t)
         return freq_mix_3d(z_t.astype(jnp.float32), latents.astype(jnp.float32),
                            jnp.asarray(lpf))
+
+
+# ---------------------------------------------------------------------------
+# pyoco correlated video noise (reference prepare_latents, :408-458)
+# ---------------------------------------------------------------------------
+
+
+def sample_video_noise(
+    key: jax.Array,
+    shape,                       # [B, F, h, w, C]
+    method: str = "vanilla",     # vanilla | pyoco_mixed | pyoco_progressive
+    noise_alpha: float = 1.0,
+) -> jax.Array:
+    """Reference ``prepare_latents`` noise sampling
+    (``pipeline_video_editing.py:408-458``): pyoco_mixed = shared base frame
+    noise + per-frame noise; pyoco_progressive = AR(1) chain over frames with
+    coefficient sqrt(a^2/(1+a^2))."""
+    b, f, h, w, c = shape
+    a2 = noise_alpha**2
+    k1, k2 = jax.random.split(key)
+    if method == "vanilla":
+        return jax.random.normal(k1, shape, jnp.float32)
+    if method == "pyoco_mixed":
+        base = jax.random.normal(k1, (b, 1, h, w, c), jnp.float32) * np.sqrt(a2 / (1 + a2))
+        ind = jax.random.normal(k2, shape, jnp.float32) * np.sqrt(1 / (1 + a2))
+        return base + ind
+    if method == "pyoco_progressive":
+        init = jax.random.normal(k1, shape, jnp.float32)
+        ind = jax.random.normal(k2, shape, jnp.float32) * np.sqrt(1 / (1 + a2))
+        coef = np.sqrt(a2 / (1 + a2))
+
+        def body(prev, xs):
+            ind_j = xs
+            cur = prev * coef + ind_j
+            return cur, cur
+
+        # frame 0 keeps the raw draw; frames 1.. follow the AR(1) chain
+        first = init[:, 0]
+        _, rest = jax.lax.scan(body, first, jnp.moveaxis(ind[:, 1:], 1, 0))
+        rest = jnp.moveaxis(rest, 0, 1)
+        return jnp.concatenate([first[:, None], rest], axis=1)
+    raise ValueError(f"unknown noise_sampling_method: {method}")

@@ -112,3 +112,73 @@ def test_frameinit(pipe_and_frames):
     assert mixed.shape == latents.shape
     assert not np.allclose(np.asarray(mixed), np.asarray(noise))
     assert np.isfinite(np.asarray(mixed)).all()
+
+
+def test_pyoco_noise_statistics():
+    """pyoco_mixed: unit marginal variance, positive inter-frame correlation
+    (shared base); pyoco_progressive: AR(1) chain with coef a/sqrt(1+a^2)
+    (reference prepare_latents, pipeline_video_editing.py:408-458)."""
+    from anyv2v_tpu.pipelines.consisti2v import sample_video_noise
+
+    key = jax.random.PRNGKey(0)
+    shape = (1, 8, 32, 32, 4)
+
+    for method in ("vanilla", "pyoco_mixed", "pyoco_progressive"):
+        z = np.asarray(sample_video_noise(key, shape, method, noise_alpha=1.0))
+        assert z.shape == shape
+        assert abs(z.std() - 1.0) < 0.05, method
+
+    mixed = np.asarray(sample_video_noise(key, shape, "pyoco_mixed", 1.0))
+    f0, f1 = mixed[0, 0].ravel(), mixed[0, 4].ravel()
+    corr = np.corrcoef(f0, f1)[0, 1]
+    assert corr > 0.3  # alpha=1 -> shared base carries half the variance
+
+    prog = np.asarray(sample_video_noise(key, shape, "pyoco_progressive", 1.0))
+    c01 = np.corrcoef(prog[0, 3].ravel(), prog[0, 4].ravel())[0, 1]
+    c04 = np.corrcoef(prog[0, 0].ravel(), prog[0, 7].ravel())[0, 1]
+    assert c01 > 0.5       # adjacent frames strongly correlated
+    assert c04 < c01       # correlation decays with distance
+
+    van = np.asarray(sample_video_noise(key, shape, "vanilla", 1.0))
+    cv = np.corrcoef(van[0, 0].ravel(), van[0, 1].ravel())[0, 1]
+    assert abs(cv) < 0.1   # independent frames
+
+
+@pytest.mark.slow
+def test_plain_generation_call(pipe_and_frames):
+    """Reference __call__ parity surface: plain image-to-video generation
+    with pyoco noise + FreeInit, frame 0 copied from the image latent."""
+    pipe, frames01, F = pipe_and_frames
+    latents = pipe.encode_video(frames01)
+    ff = latents[:, :1]
+    text = jnp.zeros((1, 8, 16))
+
+    out = pipe.sample(
+        first_frame_latent=ff,
+        text_embeds_all=jnp.concatenate([text, text, text]),  # [u, u, text]
+        num_frames=F, num_inference_steps=5,
+        cfg_txt=7.5, cfg_img=1.2,
+        noise_sampling_method="pyoco_mixed",
+        use_frameinit=True, frameinit_noise_level=500,
+        key=jax.random.PRNGKey(3),
+    )
+    assert out.shape == latents.shape
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ff[:, 0]), rtol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_camera_motion_synthesis():
+    from PIL import Image as PILImage
+
+    from anyv2v_tpu.utils.camera import CAMERA_MOTIONS
+
+    img = PILImage.fromarray(
+        (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8))
+    for name, fn in CAMERA_MOTIONS.items():
+        frames = fn(img, num_frames=4, crop_width=32)
+        assert len(frames) == 4, name
+        assert frames[0].size[0] == 32, name
+    # pan_right starts at the left edge, pan_left at the right edge
+    pr = CAMERA_MOTIONS["pan_right"](img, 4, 32)
+    pl = CAMERA_MOTIONS["pan_left"](img, 4, 32)
+    assert np.asarray(pr[0]).mean() != np.asarray(pl[0]).mean()
