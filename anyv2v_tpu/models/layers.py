@@ -145,8 +145,11 @@ class TemporalConvLayer(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head attention with optional PnP Q/K source-substitution and
-    optional Q/K transform (rotary) and additive bias (T5 rel-pos)."""
+    """Multi-head attention with optional PnP Q/K source-substitution,
+    optional Q/K transform (rotary), additive bias (T5 rel-pos), and an
+    optional IP-Adapter branch (``ip=True`` creates to_k_ip/to_v_ip; image
+    tokens attend separately and add scaled output — reference
+    ``ip_adapter/attention_processor.py:80-188``)."""
 
     heads: int
     head_dim: int
@@ -155,6 +158,7 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     pnp_chunks: int = 3
+    ip: bool = False
 
     @nn.compact
     def __call__(
@@ -164,6 +168,8 @@ class Attention(nn.Module):
         inject: Optional[jax.Array] = None,
         qk_transform: Optional[Callable[[jax.Array, bool], jax.Array]] = None,
         bias: Optional[jax.Array] = None,
+        ip_tokens: Optional[jax.Array] = None,   # [B, N_ip, D_ctx]
+        ip_scale: float = 1.0,
     ) -> jax.Array:
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
@@ -183,6 +189,15 @@ class Attention(nn.Module):
             k = qk_transform(k, False)
 
         out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
+
+        if self.ip and ip_tokens is not None:
+            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip_tokens.astype(self.dtype))
+            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip_tokens.astype(self.dtype))
+            out = out + ip_scale * multi_head_attention(q, k_ip, v_ip,
+                                                        heads=self.heads)
+
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
 
@@ -222,6 +237,7 @@ class BasicTransformerBlock(nn.Module):
     only_self_attention: bool = False
     dtype: jnp.dtype = jnp.float32
     pnp_chunks: int = 3
+    ip: bool = False   # IP-Adapter branch on attn2 (target blocks only)
 
     @nn.compact
     def __call__(
@@ -231,6 +247,8 @@ class BasicTransformerBlock(nn.Module):
         inject: Optional[jax.Array] = None,
         qk_transform: Optional[Callable] = None,
         bias: Optional[jax.Array] = None,
+        ip_tokens: Optional[jax.Array] = None,
+        ip_scale: float = 1.0,
     ) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
@@ -245,8 +263,9 @@ class BasicTransformerBlock(nn.Module):
                 self.head_dim,
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype,
+                ip=self.ip,
                 name="attn2",
-            )(h, context=context)
+            )(h, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
@@ -264,6 +283,7 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     pnp_chunks: int = 3
+    ip: bool = False
 
     @nn.compact
     def __call__(
@@ -271,6 +291,8 @@ class SpatialTransformer(nn.Module):
         x: jax.Array,
         context: Optional[jax.Array] = None,
         inject: Optional[jax.Array] = None,
+        ip_tokens: Optional[jax.Array] = None,
+        ip_scale: float = 1.0,
     ) -> jax.Array:
         b, h_, w_, c = x.shape
         inner = self.heads * self.head_dim
@@ -285,8 +307,10 @@ class SpatialTransformer(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype,
                 pnp_chunks=self.pnp_chunks,
+                ip=self.ip,
                 name=f"blocks_{i}",
-            )(h, context=context, inject=inject)
+            )(h, context=context, inject=inject, ip_tokens=ip_tokens,
+              ip_scale=ip_scale)
         h = h.reshape(b, h_, w_, inner)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
         return h + residual

@@ -58,6 +58,11 @@ class SDUNetConfig:
     addition_time_embed_dim: int = 256
     # pooled(1280) + 6*256 = 2816 for SDXL
     projection_class_embeddings_input_dim: int = 2816
+    # IP-Adapter target transformers by flax block name (InstantStyle uses
+    # up_blocks.0.attentions.1 only -> "up_0_attn_1"; reference
+    # instantstyle.py:27-32); non-targets never see image tokens (the
+    # reference's skip processors)
+    ip_adapter_targets: Tuple[str, ...] = ()
     dtype: jnp.dtype = jnp.bfloat16
 
     def heads_for(self, block_idx: int) -> int:
@@ -82,6 +87,10 @@ class SDUNet(nn.Module):
         encoder_hidden_states: jax.Array,   # [B, S, D]
         added_text_embeds: Optional[jax.Array] = None,  # [B, 1280] (SDXL pooled)
         added_time_ids: Optional[jax.Array] = None,     # [B, 6] (SDXL)
+        ip_tokens: Optional[jax.Array] = None,          # [B, N_ip, D] IP-Adapter
+        ip_scale: float = 1.0,
+        down_block_residuals: Optional[tuple] = None,   # ControlNet residuals
+        mid_block_residual: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.config
         dt = cfg.dtype
@@ -118,16 +127,24 @@ class SDUNet(nn.Module):
                 x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                                   name=f"down_{i}_resnet_{j}")(x, emb)
                 if is_cross:
+                    name = f"down_{i}_attn_{j}"
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.depth_for(i),
                         cross_attention_dim=cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups, dtype=dt,
-                        name=f"down_{i}_attn_{j}",
-                    )(x, context=context)
+                        ip=name in cfg.ip_adapter_targets, name=name,
+                    )(x, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale)
                 skips.append(x)
             if i < n_blocks - 1:
                 x = Downsample2D(ch, dtype=dt, name=f"down_{i}_downsample")(x)
                 skips.append(x)
+
+        if down_block_residuals is not None:
+            # ControlNet: residuals added to the SKIP samples only (the main
+            # activation entering mid is untouched) — diffusers
+            # UNet2DConditionModel is_controlnet semantics
+            assert len(down_block_residuals) == len(skips)
+            skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_block_residuals)]
 
         ch = cfg.block_out_channels[-1]
         heads = cfg.heads_for(n_blocks - 1)
@@ -136,10 +153,13 @@ class SDUNet(nn.Module):
         x = SpatialTransformer(
             heads, ch // heads, depth=cfg.depth_for(n_blocks - 1),
             cross_attention_dim=cfg.cross_attention_dim,
-            groups=cfg.norm_num_groups, dtype=dt, name="mid_attn",
-        )(x, context=context)
+            groups=cfg.norm_num_groups, dtype=dt,
+            ip="mid_attn" in cfg.ip_adapter_targets, name="mid_attn",
+        )(x, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale)
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                           name="mid_resnet_1")(x, emb)
+        if mid_block_residual is not None:
+            x = x + mid_block_residual.astype(x.dtype)
 
         rev_ch = tuple(reversed(cfg.block_out_channels))
         rev_cross = tuple(reversed(cfg.cross_attn_blocks))
@@ -153,12 +173,13 @@ class SDUNet(nn.Module):
                 x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                                   name=f"up_{i}_resnet_{j}")(x, emb)
                 if is_cross:
+                    name = f"up_{i}_attn_{j}"
                     x = SpatialTransformer(
                         heads, ch // heads, depth=cfg.depth_for(bidx),
                         cross_attention_dim=cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups, dtype=dt,
-                        name=f"up_{i}_attn_{j}",
-                    )(x, context=context)
+                        ip=name in cfg.ip_adapter_targets, name=name,
+                    )(x, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale)
             if i < n_blocks - 1:
                 x = Upsample2D(ch, dtype=dt, name=f"up_{i}_upsample")(x)
 

@@ -134,3 +134,37 @@ def edm_step_v(
     denoised = c_skip * sample + c_out * v
     derivative = (sample - denoised) / jnp.maximum(sigma_from, 1e-20)
     return sample + derivative * (sigma_to - sigma_from)
+
+
+def euler_discrete_grid(schedule: DiffusionSchedule, num_steps: int,
+                        spacing: str = "leading",
+                        steps_offset: int = 1) -> EulerAncestralGrid:
+    """diffusers ``EulerDiscreteScheduler.set_timesteps`` — the SDXL default
+    scheduler (InstantStyle generation path). "leading" spacing with
+    steps_offset 1 (the SDXL scheduler config)."""
+    T = schedule.num_train_timesteps
+    abar = np.asarray(schedule.alphas_cumprod, np.float64)
+    sigmas_full = np.sqrt((1.0 - abar) / abar)
+    if spacing == "leading":
+        ratio = T // num_steps
+        timesteps = (np.arange(num_steps) * ratio).round()[::-1].astype(np.float64)
+        timesteps += steps_offset
+    else:
+        timesteps = np.linspace(0, T - 1, num_steps, dtype=np.float64)[::-1].copy()
+    sigmas = np.interp(timesteps, np.arange(T), sigmas_full)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return EulerAncestralGrid(sigmas=sigmas, timesteps=timesteps.astype(np.float32))
+
+
+def euler_discrete_step(
+    sample: jax.Array,
+    model_output: jax.Array,   # eps prediction
+    sigma_from: jax.Array,
+    sigma_to: jax.Array,
+) -> jax.Array:
+    """Deterministic Euler step (diffusers ``EulerDiscreteScheduler.step``)."""
+    sample = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    pred_x0 = sample - sigma_from * eps
+    derivative = (sample - pred_x0) / jnp.maximum(sigma_from, 1e-20)
+    return sample + derivative * (sigma_to - sigma_from)

@@ -334,7 +334,9 @@ def build_image_edit_pipeline(
     pooled_dim: int | None = None,
 ):
     """Build a first-frame editor (reference ``edit_image.py --model`` names:
-    instructpix2pix / magicbrush / cosxl; '-tiny' variants for CI)."""
+    instructpix2pix / magicbrush / cosxl / instantstyle; '-tiny' for CI)."""
+    if model.startswith("instantstyle"):
+        return build_instantstyle_pipeline(model, init=init, seed=seed, dtype=dtype)
     spec = IMAGE_EDIT_ARCHS[model]
     unet_cfg = _override_dtype(spec["unet"], dtype)
     vae_cfg = _override_dtype(spec["vae"], dtype)
@@ -451,3 +453,89 @@ def build_seine_pipeline(
     schedule = make_schedule(**{**SEINE_SCHEDULER, **(scheduler_kwargs or {})})
     return SeinePipeline(unet=unet, vae=vae, text_encoder=text,
                          schedule=schedule, params=params)
+
+
+# ===========================================================================
+# InstantStyle (SDXL + canny ControlNet + IP-Adapter; SURVEY.md §2.4)
+# ===========================================================================
+
+from ..models.controlnet import ControlNet  # noqa: E402
+from ..pipelines.instantstyle import ImageProjModel, InstantStylePipeline  # noqa: E402
+
+
+def build_instantstyle_pipeline(
+    arch: str = "instantstyle",
+    init: str = "random",
+    seed: int = 0,
+    dtype: jnp.dtype = jnp.bfloat16,
+    clip_embed_dim: int | None = None,
+) -> InstantStylePipeline:
+    """SDXL base + controlnet-canny-sdxl + ip-adapter_sdxl (style target
+    block up_blocks.0.attentions.1 -> flax 'up_0_attn_1'); '-tiny' for CI."""
+    import dataclasses as _dc
+
+    if arch == "instantstyle":
+        unet_cfg = _dc.replace(SDXL_COSXL, in_channels=4,
+                               ip_adapter_targets=("up_0_attn_1",), dtype=dtype)
+        vae_cfg = VAEConfig(scaling_factor=0.13025, dtype=dtype)
+        clip_dim = clip_embed_dim or 1280   # OpenCLIP bigG projection
+        pooled_dim = 1280
+    elif arch == "instantstyle-tiny":
+        unet_cfg = SDUNetConfig(
+            in_channels=4, block_out_channels=(8, 16, 16), layers_per_block=1,
+            cross_attention_dim=16, num_attention_heads=(2, 2, 2),
+            transformer_depth=(1, 1, 2), cross_attn_blocks=(False, True, True),
+            norm_num_groups=4, addition_embed="sdxl", addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=16 + 6 * 8,
+            ip_adapter_targets=("up_0_attn_1",), dtype=jnp.float32)
+        vae_cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                            norm_num_groups=4, scaling_factor=0.13025,
+                            dtype=jnp.float32)
+        clip_dim = clip_embed_dim or 16
+        pooled_dim = 16
+    else:
+        raise ValueError(arch)
+
+    unet = SDUNet(unet_cfg)
+    controlnet = ControlNet(unet_cfg)
+    vae = AutoencoderKL(vae_cfg)
+    proj = ImageProjModel(cross_attention_dim=unet_cfg.cross_attention_dim,
+                          num_tokens=4,
+                          dtype=unet_cfg.dtype)
+
+    if init == "random":
+        key = jax.random.PRNGKey(seed)
+        hw = 64
+        base_args = dict(
+            timestep=jnp.float32(1.0),
+            encoder_hidden_states=jnp.zeros((1, 4, unet_cfg.cross_attention_dim)),
+            added_text_embeds=jnp.zeros((1, pooled_dim)),
+            added_time_ids=jnp.zeros((1, 6)),
+        )
+        params = {
+            "unet": fast_random_params(
+                lambda: unet.init(
+                    key, sample=jnp.zeros((1, hw // 8, hw // 8, 4)),
+                    ip_tokens=jnp.zeros((1, 4, unet_cfg.cross_attention_dim)),
+                    **base_args), seed),
+            "controlnet": fast_random_params(
+                lambda: controlnet.init(
+                    key, sample=jnp.zeros((1, hw // 8, hw // 8, 4)),
+                    controlnet_cond=jnp.zeros((1, hw, hw, 3)), **base_args),
+                seed + 1),
+            "vae": fast_random_params(
+                lambda: vae.init(key, jnp.zeros((1, 64, 64, 3))), seed + 2),
+            "image_proj": fast_random_params(
+                lambda: proj.init(key, jnp.zeros((1, clip_dim))), seed + 3),
+        }
+    elif os.path.exists(init):
+        params = load_params(init)
+    else:
+        raise ValueError(f"unknown init: {init}")
+
+    return InstantStylePipeline(unet=unet, controlnet=controlnet, vae=vae,
+                                image_proj=proj, schedule=make_schedule(),
+                                params=params)
+
+
+

@@ -1,0 +1,97 @@
+"""Product-layer tests (SURVEY.md §2.5): video prep utilities, in-process
+AnyV2V runner, headless gradio flow, Replicate-style predictor."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from anyv2v_tpu.utils.io import save_video
+from anyv2v_tpu.utils.video_prep import crop_and_resize_video, extract_frames
+
+
+def _make_video(path, n=8, h=72, w=96, fps=4):
+    rng = np.random.RandomState(0)
+    frames = rng.rand(n, h, w, 3).astype(np.float32)
+    save_video(frames, str(path), fps=fps)
+    return frames
+
+
+def test_extract_frames_even_spacing(tmp_path):
+    video = tmp_path / "v.mp4"
+    _make_video(video, n=8)
+    frames = extract_frames(str(video), frame_count=4)
+    assert len(frames) == 4
+    assert frames[0].size == (96, 72)
+
+
+def test_crop_and_resize_video(tmp_path):
+    video = tmp_path / "v.mp4"
+    _make_video(video, n=8, fps=4)  # 2 s long
+    out = crop_and_resize_video(
+        str(video), str(tmp_path / "out"), clip_duration=1,
+        width=32, height=32, start_time=0.0, n_frames=4, center_crop=True,
+    )
+    assert out and os.path.exists(out)
+    from anyv2v_tpu.utils.video_prep import _read_video
+
+    arr, fps = _read_video(out)
+    assert arr.shape[1:3] == (32, 32)
+
+    # plain resize path (no center crop)
+    out2 = crop_and_resize_video(
+        str(video), str(tmp_path / "out2"), use_full_clip=True,
+        width=48, height=24, n_frames=8,
+    )
+    arr2, _ = _read_video(out2)
+    assert arr2.shape[1:3] == (24, 48)
+
+
+@pytest.mark.slow
+def test_headless_gradio_flow_e2e(tmp_path):
+    """Three-stage product flow on tiny archs: preprocess -> ip2p first-frame
+    edit -> in-process AnyV2V. The reference equivalent is one gradio run
+    (gradio_demo.py:240-330)."""
+    from anyv2v_tpu.product.gradio_app import run_headless
+
+    video = tmp_path / "v.mp4"
+    _make_video(video, n=4, h=64, w=64)
+
+    out = run_headless(
+        str(video), "a snowy scene", "make it snowy",
+        variant="instructpix2pix", editor="instructpix2pix-tiny",
+        out_dir=str(tmp_path / "out"),
+        runner_kwargs=dict(arch="i2vgen-tiny", dtype="float32"),
+        ddim_inversion_steps=10, num_inference_steps=5,
+        image_edit_steps=2,
+    )
+    assert os.path.exists(out)
+    assert out.endswith("edited_video.mp4")
+    assert os.path.exists(str(tmp_path / "out" / "edited_first_frame.png"))
+
+
+@pytest.mark.slow
+def test_predictor_e2e(tmp_path):
+    """Cog-style service: setup once, predict end-to-end (predict.py parity)."""
+    from anyv2v_tpu.product.predictor import Predictor
+
+    video = tmp_path / "v.mp4"
+    _make_video(video, n=4, h=64, w=64)
+
+    p = Predictor()
+    p.setup(arch="i2vgen-tiny", image_edit_arch="instructpix2pix-tiny")
+    p.runner.dtype = "float32"
+    out = p.predict(
+        str(video), "make it snowy", "a snowy scene",
+        num_inference_steps=5, ddim_inversion_steps=10, image_edit_steps=2,
+        out_dir=str(tmp_path / "out"),
+    )
+    assert os.path.exists(out)
+
+
+def test_build_demo_raises_without_gradio():
+    from anyv2v_tpu.product.gradio_app import build_demo
+
+    with pytest.raises(ImportError, match="gradio"):
+        build_demo("instructpix2pix")
