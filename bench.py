@@ -10,7 +10,9 @@ DDIM inversion (500 UNet forwards, batch 1) + PnP edit (50 forwards, batch 3)
 Default mode measures warm per-step costs on short scans and projects the
 500/50-step total (exact per-step extrapolation is sound: the scan body is a
 single compiled program whose cost is step-invariant). Set BENCH_FULL=1 to
-run the true 500+50 step workload.
+run the true 500+50 step workload. Set BENCH_PROFILE=<dir> to capture a
+jax.profiler (XProf) trace of the measured sections — trace capture adds
+real overhead, so profiled numbers are for analysis, not for the record.
 
 ``vs_baseline`` = baseline_seconds / value, where baseline_seconds = 60.0 is
 the driver-set v5e-8 target (BASELINE.json "north_star"); > 1.0 beats the
@@ -41,6 +43,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from anyv2v_tpu.utils.model_zoo import build_i2vgen_pipeline
+    from anyv2v_tpu.utils.profiling import trace_if
+
+    profile_dir = os.environ.get("BENCH_PROFILE")
 
     full = os.environ.get("BENCH_FULL", "0") == "1"
     n_frames, hw = 16, (512, 512)
@@ -91,9 +96,10 @@ def main() -> None:
     jax.block_until_ready(traj)
     _log("inversion scan compiled")
     t0 = time.perf_counter()
-    traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
-                               num_inversion_steps=n_inv_measure)
-    jax.block_until_ready(traj)
+    with trace_if(profile_dir):
+        traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
+                                   num_inversion_steps=n_inv_measure)
+        jax.block_until_ready(traj)
     t_inv = time.perf_counter() - t0
     # host readback forces real completion and surfaces deferred device
     # errors (axon executes asynchronously; a bare block_until_ready has
