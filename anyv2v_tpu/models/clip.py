@@ -103,7 +103,12 @@ class CLIPTextModel(nn.Module):
     config: CLIPTextConfig = CLIPTextConfig()
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, input_ids: jax.Array,
+                 penultimate: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """``penultimate=True`` returns the hidden state BEFORE the last layer
+        (HF ``hidden_states[-2]``, no final layer norm) as the first output —
+        what SDXL's dual text encoders feed the UNet (clip_skip semantics).
+        The pooled/projected output always comes from the full stack."""
         cfg = self.config
         b, s = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
@@ -114,7 +119,10 @@ class CLIPTextModel(nn.Module):
             (cfg.max_position_embeddings, cfg.hidden_size),
         )
         x = tok + pos[None, :s].astype(cfg.dtype)
+        hidden_penultimate = None
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                hidden_penultimate = x
             x = _CLIPLayer(cfg.num_heads, cfg.intermediate_size, cfg.hidden_act,
                            cfg.dtype, name=f"layers_{i}")(x, causal=True)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_layer_norm")(x).astype(cfg.dtype)
@@ -124,7 +132,8 @@ class CLIPTextModel(nn.Module):
         if cfg.projection_dim is not None:
             pooled = nn.Dense(cfg.projection_dim, use_bias=False, dtype=cfg.dtype,
                               name="text_projection")(pooled)
-        return x, pooled
+        hidden = hidden_penultimate if penultimate else x
+        return hidden, pooled
 
 
 class CLIPVisionModel(nn.Module):

@@ -734,3 +734,136 @@ def convert_unet_sd(sd: Mapping[str, np.ndarray],
         if i < n - 1:
             p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# ControlNet (SDXL canny) + IP-Adapter (InstantStyle stage)
+# ---------------------------------------------------------------------------
+
+
+def convert_controlnet(sd: Mapping[str, np.ndarray],
+                       block_out_channels: Tuple[int, ...] = (320, 640, 1280),
+                       layers_per_block: int = 2,
+                       cross_attn_blocks: Tuple[bool, ...] = (False, True, True),
+                       transformer_depth=(1, 2, 10)) -> Tree:
+    """diffusers ``ControlNetModel`` (SDXL) -> models.controlnet.ControlNet
+    params (reference loader instantstyle.py:16-18)."""
+    n = len(block_out_channels)
+
+    def depth_for(i):
+        return (transformer_depth[i] if isinstance(transformer_depth, (tuple, list))
+                else transformer_depth)
+
+    p: Tree = {
+        "conv_in": t_conv(sd, "conv_in"),
+        "time_embedding": _timestep_embedding(sd, "time_embedding"),
+        "add_embedding": _timestep_embedding(sd, "add_embedding"),
+        "controlnet_mid_block": t_conv(sd, "controlnet_mid_block"),
+    }
+    ce = "controlnet_cond_embedding"
+    p[ce] = {"conv_in": t_conv(sd, f"{ce}.conv_in"),
+             "conv_out": t_conv(sd, f"{ce}.conv_out")}
+    k = 0
+    while f"{ce}.blocks.{k}.weight" in sd:
+        p[ce][f"blocks_{k}"] = t_conv(sd, f"{ce}.blocks.{k}")
+        k += 1
+    k = 0
+    while f"controlnet_down_blocks.{k}.weight" in sd:
+        p[f"controlnet_down_blocks_{k}"] = t_conv(sd, f"controlnet_down_blocks.{k}")
+        k += 1
+    for i in range(n):
+        base = f"down_blocks.{i}"
+        for j in range(layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
+            if cross_attn_blocks[i]:
+                p[f"down_{i}_attn_{j}"] = _spatial_transformer_deep(
+                    sd, f"{base}.attentions.{j}", depth_for(i))
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
+    p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_attn"] = _spatial_transformer_deep(sd, "mid_block.attentions.0",
+                                              depth_for(n - 1))
+    p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
+    return {"params": p}
+
+
+def sdxl_attn2_order(block_out_channels=(320, 640, 1280),
+                     layers_per_block: int = 2,
+                     cross_attn_blocks=(False, True, True),
+                     transformer_depth=(1, 2, 10)):
+    """Flax names of every cross-attention (attn2) module in diffusers'
+    attn_processors traversal order (module attribute order: down_blocks,
+    mid_block, up_blocks; within a block: attentions.j.transformer_blocks.k).
+    Each attention module contributes attn1 then attn2 — the IP-Adapter state
+    dict (`ip_adapter/ip_adapter.py` load via ModuleList(attn_processors
+    .values())) indexes to_k_ip/to_v_ip at the attn2 (odd) positions."""
+    n = len(block_out_channels)
+
+    def depth_for(i):
+        return (transformer_depth[i] if isinstance(transformer_depth, (tuple, list))
+                else transformer_depth)
+
+    order = []
+    for i in range(n):
+        if cross_attn_blocks[i]:
+            for j in range(layers_per_block):
+                for k in range(depth_for(i)):
+                    order.append(("down", i, j, k))
+    for k in range(depth_for(n - 1)):
+        order.append(("mid", n - 1, 0, k))
+    rev_cross = tuple(reversed(cross_attn_blocks))
+    for i in range(n):
+        if rev_cross[i]:
+            for j in range(layers_per_block + 1):
+                for k in range(depth_for(n - 1 - i)):
+                    order.append(("up", i, j, k))
+    return order
+
+
+def convert_ip_adapter(ip_sd: Mapping[str, Mapping[str, np.ndarray]],
+                       target_blocks: Tuple[str, ...] = ("up_0_attn_1",),
+                       block_out_channels=(320, 640, 1280),
+                       layers_per_block: int = 2,
+                       cross_attn_blocks=(False, True, True),
+                       transformer_depth=(1, 2, 10)) -> Tuple[Tree, Dict[str, Tree]]:
+    """ip-adapter_sdxl.bin ({"image_proj": ..., "ip_adapter": {"<idx>.to_k_ip"
+    ...}}) -> (ImageProjModel params, {flax_transformer_name: {blocks_k:
+    {attn2 ip trees}}}) for the configured target blocks only (non-targets
+    use skip processors in the reference — their ip weights are unused)."""
+    proj_sd = ip_sd["image_proj"]
+    image_proj = {"params": {
+        "proj": {"kernel": np.ascontiguousarray(np.asarray(proj_sd["proj.weight"]).T),
+                 "bias": np.asarray(proj_sd["proj.bias"])},
+        "norm": {"scale": np.asarray(proj_sd["norm.weight"]),
+                 "bias": np.asarray(proj_sd["norm.bias"])},
+    }}
+    adapter_sd = ip_sd["ip_adapter"]
+    order = sdxl_attn2_order(block_out_channels, layers_per_block,
+                             cross_attn_blocks, transformer_depth)
+    per_block: Dict[str, Tree] = {}
+    for pos, (kind, i, j, k) in enumerate(order):
+        idx = 2 * pos + 1   # attn1 at even, attn2 (ip) at odd indices
+        name = "mid_attn" if kind == "mid" else f"{kind}_{i}_attn_{j}"
+        if name not in target_blocks:
+            continue
+        per_block.setdefault(name, {})[f"blocks_{k}"] = {
+            "attn2": {
+                "to_k_ip": {"kernel": np.ascontiguousarray(
+                    np.asarray(adapter_sd[f"{idx}.to_k_ip.weight"]).T)},
+                "to_v_ip": {"kernel": np.ascontiguousarray(
+                    np.asarray(adapter_sd[f"{idx}.to_v_ip.weight"]).T)},
+            }
+        }
+    return image_proj, per_block
+
+
+def merge_ip_adapter_into_unet(unet_params: Tree, per_block: Dict[str, Tree]) -> Tree:
+    """Graft converted ip trees into a converted SDUNet params tree."""
+    import copy
+
+    out = copy.deepcopy(unet_params)
+    for name, blocks in per_block.items():
+        target = out["params"][name]
+        for blk_name, tree in blocks.items():
+            target[blk_name]["attn2"].update(tree["attn2"])
+    return out

@@ -99,3 +99,15 @@ def test_text_encoder_quick_gelu_variant():
         want = hf(torch.from_numpy(ids)).last_hidden_state.numpy()
     got, _ = CLIPTextModel(cfg).apply(params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_text_encoder_penultimate_matches_hf(tiny_text):
+    """SDXL clip-skip semantics: penultimate=True must equal HF
+    hidden_states[-2] (pre-final-layer, no final layer norm)."""
+    hf, flax_model, params = tiny_text
+    ids = np.array([[97, 5, 7, 98, 0, 0]], np.int64)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(ids), output_hidden_states=True)
+    want = out.hidden_states[-2].numpy()
+    got, _ = flax_model.apply(params, jnp.asarray(ids), penultimate=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)

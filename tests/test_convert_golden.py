@@ -899,3 +899,161 @@ def test_seine_unet_structural_conversion():
             encoder_hidden_states=jnp.zeros((1, 4, ctx_dim)),
         ))
     C.assert_params_match(shapes, converted)
+
+
+@pytest.mark.slow
+def test_controlnet_structural_conversion():
+    """Torch ControlNetModel skeleton (SDXL layout) -> convert_controlnet ->
+    exact tree match with models.controlnet.ControlNet."""
+    from anyv2v_tpu.models.controlnet import ControlNet
+    from anyv2v_tpu.models.unet_sd import SDUNetConfig
+
+    ch = (8, 16, 16)
+    g, ctx = 4, 16
+    ted = ch[0] * 4
+    pooled, add_dim = 16, 8
+    depth = (1, 1, 2)
+    cross = (False, True, True)
+
+    class Skeleton(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = tnn.Conv2d(4, ch[0], 3, padding=1)
+            for name in ("time_embedding", "add_embedding"):
+                m = tnn.Module()
+                m.linear_1 = tnn.Linear(ch[0] if name == "time_embedding"
+                                        else pooled + 6 * add_dim, ted)
+                m.linear_2 = tnn.Linear(ted, ted)
+                setattr(self, name, m)
+            ce = tnn.Module()
+            ce.conv_in = tnn.Conv2d(3, 16, 3, padding=1)
+            ce.blocks = tnn.ModuleList([
+                tnn.Conv2d(16, 16, 3, padding=1), tnn.Conv2d(16, 32, 3, 2, 1),
+                tnn.Conv2d(32, 32, 3, padding=1), tnn.Conv2d(32, 96, 3, 2, 1),
+                tnn.Conv2d(96, 96, 3, padding=1), tnn.Conv2d(96, 256, 3, 2, 1),
+            ])
+            ce.conv_out = tnn.Conv2d(256, ch[0], 3, padding=1)
+            self.controlnet_cond_embedding = ce
+            self.down_blocks = tnn.ModuleList()
+            cin = ch[0]
+            cdowns = [tnn.Conv2d(ch[0], ch[0], 1)]
+            for i, c in enumerate(ch):
+                blk = tnn.Module()
+                blk.resnets = tnn.ModuleList([TResnet(cin, c, temb_dim=ted, groups=g)])
+                if cross[i]:
+                    t = TSpatialTransformer(c, ctx, 2, c // 2, g)
+                    t.transformer_blocks = tnn.ModuleList(
+                        [TBasicBlock(c, ctx, 2, c // 2) for _ in range(depth[i])])
+                    blk.attentions = tnn.ModuleList([t])
+                cdowns.append(tnn.Conv2d(c, c, 1))
+                if i < 2:
+                    down = tnn.Module()
+                    down.conv = tnn.Conv2d(c, c, 3, stride=2, padding=1)
+                    blk.downsamplers = tnn.ModuleList([down])
+                    cdowns.append(tnn.Conv2d(c, c, 1))
+                self.down_blocks.append(blk)
+                cin = c
+            self.controlnet_down_blocks = tnn.ModuleList(cdowns)
+            mid = tnn.Module()
+            c = ch[-1]
+            mid.resnets = tnn.ModuleList([TResnet(c, c, temb_dim=ted, groups=g),
+                                          TResnet(c, c, temb_dim=ted, groups=g)])
+            t = TSpatialTransformer(c, ctx, 2, c // 2, g)
+            t.transformer_blocks = tnn.ModuleList(
+                [TBasicBlock(c, ctx, 2, c // 2) for _ in range(depth[-1])])
+            mid.attentions = tnn.ModuleList([t])
+            self.mid_block = mid
+            self.controlnet_mid_block = tnn.Conv2d(c, c, 1)
+
+    torch.manual_seed(11)
+    skel = Skeleton()
+    from anyv2v_tpu.utils import convert as C2
+
+    converted = C2.convert_controlnet(sd_np(skel), block_out_channels=ch,
+                                      layers_per_block=1,
+                                      cross_attn_blocks=cross,
+                                      transformer_depth=depth)
+    cfg = SDUNetConfig(in_channels=4, block_out_channels=ch, layers_per_block=1,
+                       cross_attention_dim=ctx, num_attention_heads=(2, 2, 2),
+                       transformer_depth=depth, cross_attn_blocks=cross,
+                       norm_num_groups=g, addition_embed="sdxl",
+                       addition_time_embed_dim=add_dim,
+                       projection_class_embeddings_input_dim=pooled + 6 * add_dim,
+                       dtype=jnp.float32)
+    cn = ControlNet(cfg)
+    shapes = jax.eval_shape(
+        lambda: cn.init(jax.random.PRNGKey(0),
+                        sample=jnp.zeros((1, 8, 8, 4)),
+                        timestep=jnp.float32(1.0),
+                        encoder_hidden_states=jnp.zeros((1, 4, ctx)),
+                        controlnet_cond=jnp.zeros((1, 64, 64, 3)),
+                        added_text_embeds=jnp.zeros((1, pooled)),
+                        added_time_ids=jnp.zeros((1, 6))))
+    C2.assert_params_match(shapes, converted)
+
+
+def test_ip_adapter_conversion_targets_style_block():
+    """Synthetic ip-adapter state dict -> target-block-only ip trees whose
+    indices follow diffusers' attn_processors order (down, mid, up; attn2 at
+    odd positions), merged into an SDUNet tree with ip_adapter_targets."""
+    from anyv2v_tpu.models.unet_sd import SDUNet, SDUNetConfig
+    from anyv2v_tpu.utils import convert as C2
+
+    ch = (8, 16, 16)
+    depth = (1, 1, 2)
+    cross = (False, True, True)
+    ctx = 16
+    order = C2.sdxl_attn2_order(ch, 1, cross, depth)
+    # synthesize ip weights for every attn2
+    ip_sd = {
+        "image_proj": {
+            "proj.weight": np.zeros((4 * ctx, 8), np.float32),
+            "proj.bias": np.zeros((4 * ctx,), np.float32),
+            "norm.weight": np.ones((ctx,), np.float32),
+            "norm.bias": np.zeros((ctx,), np.float32),
+        },
+        "ip_adapter": {},
+    }
+    for pos, (kind, i, j, k) in enumerate(order):
+        idx = 2 * pos + 1
+        c = ch[-1] if kind in ("mid",) else (ch[i] if kind == "down"
+                                             else tuple(reversed(ch))[i])
+        ip_sd["ip_adapter"][f"{idx}.to_k_ip.weight"] = np.full((c, ctx), pos,
+                                                               np.float32)
+        ip_sd["ip_adapter"][f"{idx}.to_v_ip.weight"] = np.full((c, ctx), pos,
+                                                               np.float32)
+
+    proj, per_block = C2.convert_ip_adapter(
+        ip_sd, target_blocks=("up_0_attn_1",), block_out_channels=ch,
+        layers_per_block=1, cross_attn_blocks=cross, transformer_depth=depth)
+    assert set(per_block) == {"up_0_attn_1"}
+    assert set(per_block["up_0_attn_1"]) == {"blocks_0", "blocks_1"}
+    # index bookkeeping: the up_0_attn_1 entries are the ones at their
+    # positions in the traversal order
+    expected_pos = [p for p, o in enumerate(order)
+                    if o[0] == "up" and o[1] == 0 and o[2] == 1]
+    got = per_block["up_0_attn_1"]["blocks_0"]["attn2"]["to_k_ip"]["kernel"]
+    assert got[0, 0] == expected_pos[0]
+
+    # merged tree matches the ip-enabled flax module structurally
+    unet_cfg = SDUNetConfig(
+        in_channels=4, block_out_channels=ch, layers_per_block=1,
+        cross_attention_dim=ctx, num_attention_heads=(2, 2, 2),
+        transformer_depth=depth, cross_attn_blocks=cross, norm_num_groups=4,
+        addition_embed="sdxl", addition_time_embed_dim=8,
+        projection_class_embeddings_input_dim=16 + 48,
+        ip_adapter_targets=("up_0_attn_1",), dtype=jnp.float32)
+    unet = SDUNet(unet_cfg)
+    shapes = jax.eval_shape(
+        lambda: unet.init(jax.random.PRNGKey(0),
+                          sample=jnp.zeros((1, 8, 8, 4)),
+                          timestep=jnp.float32(1.0),
+                          encoder_hidden_states=jnp.zeros((1, 4, ctx)),
+                          added_text_embeds=jnp.zeros((1, 16)),
+                          added_time_ids=jnp.zeros((1, 6)),
+                          ip_tokens=jnp.zeros((1, 4, ctx))))
+    flat = C2.tree_shapes(shapes)
+    ip_keys = [k for k in flat if "to_k_ip" in k or "to_v_ip" in k]
+    assert sorted(ip_keys) == sorted(
+        f"params/up_0_attn_1/blocks_{k}/attn2/{n}/kernel"
+        for k in (0, 1) for n in ("to_k_ip", "to_v_ip"))
