@@ -113,9 +113,12 @@ class ConsistI2VPipeline:
 
     @cached_property
     def _invert(self):
-        @jax.jit
-        def fn(params, x0_rest, first_frame_latents, text_embeds, frame_stride, inv_ts):
-            n_steps = inv_ts.shape[0]
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("total_steps",))
+        def fn(params, x0_rest, first_frame_latents, text_embeds, frame_stride,
+               inv_ts, *, total_steps):
+            n_steps = total_steps
 
             def body(x, t):
                 eps = self.unet.apply(
@@ -144,16 +147,27 @@ class ConsistI2VPipeline:
         text_embeds: jax.Array,     # [1, S, D]
         num_inversion_steps: int = 500,
         frame_stride: int = 3,
+        chunk_steps: int = 125,
     ):
         """cfg_txt = cfg_img = 1.0 inversion (reference
-        ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``)."""
+        ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``). Dispatched in
+        ``chunk_steps`` segments (remote-TPU per-execution time limit)."""
         ff = video_latents[:, :1]
         rest = video_latents[:, 1:]
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
-        traj = self._invert(
-            self.params, rest, ff, text_embeds,
-            jnp.int32(frame_stride), jnp.asarray(inv_ts, jnp.int32),
-        )
+        chunks = []
+        step = min(chunk_steps, num_inversion_steps)
+        x = rest
+        for start in range(0, num_inversion_steps, step):
+            traj_chunk = self._invert(
+                self.params, x, ff, text_embeds,
+                jnp.int32(frame_stride),
+                jnp.asarray(inv_ts[start:start + step], jnp.int32),
+                total_steps=num_inversion_steps,
+            )
+            chunks.append(traj_chunk)
+            x = traj_chunk[-1][:, 1:].astype(jnp.float32)  # strip cached frame 0
+        traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         return traj, inv_ts  # traj rows: [1, F, h, w, 4] WITH clean frame 0
 
     # -- PnP editing -----------------------------------------------------------

@@ -179,10 +179,12 @@ class I2VGenPipeline:
 
     @cached_property
     def _invert(self):
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("total_steps",))
         def fn(params, video_latents, text_embeds, image_latents, image_embeds,
-               inv_ts, fps):
-            n_steps = inv_ts.shape[0]
+               inv_ts, fps, *, total_steps):
+            n_steps = total_steps
 
             def body(x, t):
                 eps = self.unet.apply(
@@ -212,21 +214,37 @@ class I2VGenPipeline:
         image_embeds: jax.Array,      # [1, 1, D]
         num_inversion_steps: int = 500,
         fps: int = 8,
+        chunk_steps: int = 125,
     ):
         """Returns (trajectory [n, 1, F, h, w, 4], ascending timesteps [n]).
 
         Reference: 500 UNet forwards at batch 1, cfg 1.0, empty prompt
         (``template.yaml:29-33``; hot loop ``pipeline_i2vgen_xl.py:1385-1433``).
+
+        The scan is dispatched in ``chunk_steps`` segments (one compiled
+        program, re-invoked with the carried latent): a single 500-step
+        device execution (~2 min) exceeds the remote-TPU per-execution limit,
+        and chunking also bounds peak trajectory workspace.
         """
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
-        traj = self._invert(
-            self.params,
-            self._put_video(video_latents),
+        args = (
             self._put_replicated(text_embeds),
             self._put_video(image_latents),
             self._put_replicated(image_embeds),
-            jnp.asarray(inv_ts, jnp.int32), jnp.int32(fps),
         )
+        x = self._put_video(video_latents)
+        chunks = []
+        step = min(chunk_steps, num_inversion_steps)
+        for start in range(0, num_inversion_steps, step):
+            ts_chunk = inv_ts[start:start + step]
+            traj_chunk = self._invert(
+                self.params, x, *args,
+                jnp.asarray(ts_chunk, jnp.int32), jnp.int32(fps),
+                total_steps=num_inversion_steps,
+            )
+            chunks.append(traj_chunk)
+            x = traj_chunk[-1].astype(jnp.float32)
+        traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         return traj, inv_ts
 
     # ------------------------------------------------------------------

@@ -128,10 +128,9 @@ class SeinePipeline:
 
     @cached_property
     def _invert(self):
-        @jax.jit
-        def fn(params, x0, mask, masked, text, inv_ts):
-            n_steps = inv_ts.shape[0]
-            step_ratio = self.schedule.num_train_timesteps // n_steps
+        @partial(jax.jit, static_argnames=("total_steps",))
+        def fn(params, x0, mask, masked, text, inv_ts, *, total_steps):
+            step_ratio = self.schedule.num_train_timesteps // total_steps
 
             def body(x, t):
                 inp = self._nine_channel(x, mask, masked)
@@ -156,15 +155,25 @@ class SeinePipeline:
         text_embeds: jax.Array,
         num_inversion_steps: int = 500,
         num_save_steps: int = 250,
+        chunk_steps: int = 125,
     ):
         """Returns (trajectory at the save grid, its timesteps) — the
         reference persists only the 250-step toy-scheduler sub-grid
-        (``run_ddim_inversion.py:295-308``)."""
+        (``run_ddim_inversion.py:295-308``). Dispatched in ``chunk_steps``
+        segments (remote-TPU per-execution time limit)."""
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
-        traj = self._invert(
-            self.params, video_latents, mask, masked_latent, text_embeds,
-            jnp.asarray(inv_ts, jnp.int32),
-        )
+        chunks = []
+        step = min(chunk_steps, num_inversion_steps)
+        x = video_latents
+        for start in range(0, num_inversion_steps, step):
+            traj_chunk = self._invert(
+                self.params, x, mask, masked_latent, text_embeds,
+                jnp.asarray(inv_ts[start:start + step], jnp.int32),
+                total_steps=num_inversion_steps,
+            )
+            chunks.append(traj_chunk)
+            x = traj_chunk[-1].astype(jnp.float32)
+        traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         save_ts = np.sort(sampling_timesteps(self.schedule, num_save_steps))
         keep = np.isin(inv_ts, save_ts)
         return traj[np.where(keep)[0]], inv_ts[keep]

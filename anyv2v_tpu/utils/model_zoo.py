@@ -539,3 +539,42 @@ def build_instantstyle_pipeline(
 
 
 
+
+
+# ===========================================================================
+# SDXL dual text encoders (CosXL / InstantStyle prompt encoding)
+# ===========================================================================
+
+# text_encoder: CLIP ViT-L, penultimate hidden states, no projection used
+SDXL_TEXT_1 = CLIPTextConfig(hidden_size=768, intermediate_size=3072,
+                             num_layers=12, num_heads=12, hidden_act="quick_gelu",
+                             projection_dim=None)
+# text_encoder_2: OpenCLIP ViT-bigG, penultimate hiddens + projected pooled
+SDXL_TEXT_2 = CLIPTextConfig(hidden_size=1280, intermediate_size=5120,
+                             num_layers=32, num_heads=20, hidden_act="gelu",
+                             projection_dim=1280)
+SDXL_TEXT_2_TINY = CLIPTextConfig(vocab_size=49408, hidden_size=16,
+                                  intermediate_size=32, num_layers=2,
+                                  num_heads=2, projection_dim=16)
+
+
+def build_sdxl_text_encoders(tiny: bool = False, seed: int = 0):
+    """Returns ((enc1, params1), (enc2, params2)) for SDXL prompt encoding."""
+    cfg1 = (CLIPTextConfig(vocab_size=49408, hidden_size=16, intermediate_size=32,
+                           num_layers=2, num_heads=2, projection_dim=None)
+            if tiny else SDXL_TEXT_1)
+    cfg2 = SDXL_TEXT_2_TINY if tiny else SDXL_TEXT_2
+    enc1, enc2 = CLIPTextModel(cfg1), CLIPTextModel(cfg2)
+    key = jax.random.PRNGKey(seed)
+    p1 = fast_random_params(lambda: enc1.init(key, jnp.zeros((1, 4), jnp.int32)), seed)
+    p2 = fast_random_params(lambda: enc2.init(key, jnp.zeros((1, 4), jnp.int32)), seed + 1)
+    return (enc1, p1), (enc2, p2)
+
+
+def encode_sdxl_prompt(enc1, params1, enc2, params2, input_ids1, input_ids2):
+    """SDXL prompt embedding recipe: concat of both encoders' PENULTIMATE
+    hidden states on the feature axis (768 + 1280 = 2048) + text_encoder_2's
+    projected pooled output (diffusers SDXL encode_prompt semantics)."""
+    h1, _ = enc1.apply(params1, input_ids1, penultimate=True)
+    h2, pooled2 = enc2.apply(params2, input_ids2, penultimate=True)
+    return jnp.concatenate([h1, h2], axis=-1), pooled2
