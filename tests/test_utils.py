@@ -126,3 +126,24 @@ def test_tokenizer_matches_transformers(tmp_path):
         ).input_ids
         got = ours([text])
         np.testing.assert_array_equal(got, want)
+
+
+def test_profiling_timers_and_trace_noop(tmp_path):
+    import jax.numpy as jnp
+
+    from anyv2v_tpu.utils.profiling import PhaseTimers, trace_if
+
+    timers = PhaseTimers()
+    x = jnp.ones((4,))
+    with timers.phase("a", sync=x):
+        y = x * 2
+    with timers.phase("a"):
+        pass
+    rep = timers.report()
+    assert "a" in rep and rep["a"] >= 0.0
+    with trace_if(None):   # no-op path
+        pass
+    with trace_if(str(tmp_path / "trace")):
+        _ = (x + 1).sum()
+    import os
+    assert os.path.exists(tmp_path / "trace")
