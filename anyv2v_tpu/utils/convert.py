@@ -867,3 +867,158 @@ def merge_ip_adapter_into_unet(unet_params: Tree, per_block: Dict[str, Tree]) ->
         for blk_name, tree in blocks.items():
             target[blk_name]["attn2"].update(tree["attn2"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-directory ingestion (diffusers layout)
+# ---------------------------------------------------------------------------
+
+
+def load_folder_state_dict(folder: str) -> Dict[str, np.ndarray]:
+    """All tensors from a diffusers model folder: merges every *.safetensors
+    shard; falls back to *.bin / *.pt torch pickles."""
+    import glob as _glob
+    import os as _os
+
+    sd: Dict[str, np.ndarray] = {}
+    shards = sorted(_glob.glob(_os.path.join(folder, "*.safetensors")))
+    if shards:
+        from safetensors.numpy import load_file
+
+        for s in shards:
+            sd.update(load_file(s))
+        return sd
+    for pat in ("*.bin", "*.pt", "*.ckpt"):
+        for f in sorted(_glob.glob(_os.path.join(folder, pat))):
+            sd.update(load_torch_state_dict(f))
+    if not sd:
+        raise FileNotFoundError(f"no weight files in {folder}")
+    return sd
+
+
+def _read_json(path: str):
+    import json as _json
+
+    with open(path) as f:
+        return _json.load(f)
+
+
+def _convert_vae_dir(folder: str) -> Tree:
+    """convert_vae with shape params read from the folder's config.json."""
+    import os as _os
+
+    cfg = (_read_json(_os.path.join(folder, "config.json"))
+           if _os.path.exists(_os.path.join(folder, "config.json")) else {})
+    return convert_vae(
+        load_folder_state_dict(folder),
+        block_out_channels=tuple(cfg.get("block_out_channels", (128, 256, 512, 512))),
+        layers_per_block=int(cfg.get("layers_per_block", 2)))
+
+
+def convert_i2vgen_pipeline_dir(src: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """ali-vilab/i2vgen-xl snapshot dir (subfolders unet/ vae/ text_encoder/
+    image_encoder/) -> ({unet, vae, text, vision} params, arch meta).
+
+    Reference loading site: ``i2vgen-xl/run_group_ddim_inversion.py:82-87``.
+    """
+    import os as _os
+
+    unet_cfg = _read_json(_os.path.join(src, "unet", "config.json"))
+    heads = resolve_i2vgen_heads(unet_cfg)
+    boc = tuple(unet_cfg.get("block_out_channels", (320, 640, 1280, 1280)))
+    lpb = int(unet_cfg.get("layers_per_block", 2))
+    params = {
+        "unet": convert_unet_i2vgen(load_folder_state_dict(_os.path.join(src, "unet")),
+                                    block_out_channels=boc, layers_per_block=lpb),
+        "vae": _convert_vae_dir(_os.path.join(src, "vae")),
+        "text": {"params": convert_clip_text(
+            load_folder_state_dict(_os.path.join(src, "text_encoder")),
+            num_layers=_read_json(_os.path.join(src, "text_encoder", "config.json")
+                                  )["num_hidden_layers"])},
+        "vision": {"params": convert_clip_vision(
+            load_folder_state_dict(_os.path.join(src, "image_encoder")),
+            num_layers=_read_json(_os.path.join(src, "image_encoder", "config.json")
+                                  )["num_hidden_layers"])},
+    }
+    cross_dim = unet_cfg.get("cross_attention_dim", 1024)
+    # image-context token count derived from the checkpoint itself
+    ctx2_out = params["unet"]["params"]["context_embedding_2"]["kernel"].shape[1]
+    meta = {"backbone": "i2vgen-xl",
+            "unet": {"num_attention_heads": heads,
+                     "block_out_channels": list(boc),
+                     "layers_per_block": lpb,
+                     "cross_attention_dim": cross_dim,
+                     "norm_num_groups": unet_cfg.get("norm_num_groups", 32),
+                     "num_image_context_tokens": int(ctx2_out // cross_dim)}}
+    return params, meta
+
+
+def convert_consisti2v_dir(src: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """TIGER-Lab/ConsistI2V snapshot dir -> ({unet, vae, text}, meta)
+    (reference ``consisti2v/run_ddim_inversion.py:86-89``)."""
+    import os as _os
+
+    unet_cfg = _read_json(_os.path.join(src, "unet", "config.json"))
+    boc = tuple(unet_cfg.get("block_out_channels", (320, 640, 1280, 1280)))
+    params = {
+        "unet": convert_unet_videoldm(
+            load_folder_state_dict(_os.path.join(src, "unet")),
+            block_out_channels=boc,
+            layers_per_block=int(unet_cfg.get("layers_per_block", 2)),
+            use_temporal=bool(unet_cfg.get("use_temporal", True)),
+            use_frame_stride_condition=bool(
+                unet_cfg.get("use_frame_stride_condition", True))),
+        "vae": _convert_vae_dir(_os.path.join(src, "vae")),
+        "text": {"params": convert_clip_text(
+            load_folder_state_dict(_os.path.join(src, "text_encoder")),
+            num_layers=_read_json(_os.path.join(src, "text_encoder", "config.json")
+                                  )["num_hidden_layers"])},
+    }
+    return params, {"backbone": "consisti2v"}
+
+
+def convert_seine_checkpoint(sd_path: str, ckpt_path: str
+                             ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """SD1.4 snapshot dir (vae/ text_encoder/) + seine.pt EMA dict ->
+    ({unet, vae, text}, meta) (reference ``seine/run_ddim_inversion.py:69-103``)."""
+    import os as _os
+
+    params = {
+        "unet": convert_unet_seine(load_torch_state_dict(ckpt_path)),
+        "vae": _convert_vae_dir(_os.path.join(sd_path, "vae")),
+        "text": {"params": convert_clip_text(
+            load_folder_state_dict(_os.path.join(sd_path, "text_encoder")),
+            num_layers=_read_json(_os.path.join(sd_path, "text_encoder", "config.json")
+                                  )["num_hidden_layers"])},
+    }
+    return params, {"backbone": "seine"}
+
+
+def convert_sd_editor_dir(src: str, model: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """timbrooks/instruct-pix2pix-style snapshot dir -> ({unet, vae, text},
+    meta) for the first-frame editors."""
+    import os as _os
+
+    unet_cfg = _read_json(_os.path.join(src, "unet", "config.json"))
+    is_sdxl = unet_cfg.get("addition_embed_type") == "text_time"
+    boc = tuple(unet_cfg.get("block_out_channels", (320, 640, 1280, 1280)))
+    cross = tuple(t.startswith("CrossAttn")
+                  for t in unet_cfg.get("down_block_types",
+                                        ["CrossAttnDownBlock2D"] * 3 + ["DownBlock2D"]))
+    depth = unet_cfg.get("transformer_layers_per_block", 1)
+    depth = tuple(depth) if isinstance(depth, list) else depth
+    params = {
+        "unet": convert_unet_sd(
+            load_folder_state_dict(_os.path.join(src, "unet")),
+            block_out_channels=boc,
+            layers_per_block=int(unet_cfg.get("layers_per_block", 2)),
+            cross_attn_blocks=cross, transformer_depth=depth,
+            addition_embed="sdxl" if is_sdxl else "none"),
+        "vae": _convert_vae_dir(_os.path.join(src, "vae")),
+    }
+    if _os.path.isdir(_os.path.join(src, "text_encoder")):
+        params["text"] = {"params": convert_clip_text(
+            load_folder_state_dict(_os.path.join(src, "text_encoder")),
+            num_layers=_read_json(_os.path.join(src, "text_encoder", "config.json")
+                                  )["num_hidden_layers"])}
+    return params, {"backbone": model, "sdxl": is_sdxl}

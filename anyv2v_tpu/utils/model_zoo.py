@@ -161,24 +161,34 @@ def build_i2vgen_pipeline(
     components: Tuple[str, ...] = ("unet", "vae", "text", "vision"),
     mesh=None,
 ) -> I2VGenPipeline:
+    import dataclasses as _dc
+
     spec = ARCHS[arch]
     unet_cfg = _override_dtype(spec["unet"], dtype)
     vae_cfg = _override_dtype(spec["vae"], dtype)
     text_cfg = spec["text"]
     vision_cfg = spec["vision"]
 
+    params = meta = None
+    if init != "random":
+        if not os.path.exists(init):
+            raise ValueError(f"unknown init: {init}")
+        params, meta = load_params(init, return_meta=True)
+        # converted checkpoints pin arch knobs (e.g. the diffusers head-count
+        # rule resolved by the converter) — apply them so numerics match torch
+        for k, v in (meta or {}).get("unet", {}).items():
+            if hasattr(unet_cfg, k):
+                v = tuple(v) if isinstance(v, list) else v
+                unet_cfg = _dc.replace(unet_cfg, **{k: v})
+
     unet = I2VGenUNet(unet_cfg)
     vae = AutoencoderKL(vae_cfg)
     text = CLIPTextModel(text_cfg)
     vision = CLIPVisionModel(vision_cfg)
 
-    if init == "random":
+    if params is None:
         params = _random_params(unet, vae, text, vision, text_cfg, vision_cfg,
                                 seed, sample_hw, num_frames, components)
-    elif os.path.exists(init):
-        params = load_params(init)
-    else:
-        raise ValueError(f"unknown init: {init}")
     if param_dtype is not None:
         params = cast_params(params, param_dtype)
 
@@ -257,27 +267,38 @@ def _random_params(unet, vae, text, vision, text_cfg, vision_cfg, seed,
     return {name: builders[name]() for name in components}
 
 
-def save_params(path: str, params) -> None:
-    """Flat-key npz save of a params tree."""
+def save_params(path: str, params, meta: Dict[str, Any] | None = None) -> None:
+    """Flat-key npz save of a params tree; ``meta`` (arch overrides resolved
+    at conversion time, e.g. the i2vgen head count) rides along as JSON."""
+    import json as _json
+
     flat = {}
     for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
         )
         flat[name] = np.asarray(leaf)
+    if meta:
+        flat["__meta__"] = np.asarray(_json.dumps(meta))
     np.savez(path, **flat)
 
 
-def load_params(path: str):
+def load_params(path: str, return_meta: bool = False):
+    import json as _json
+
     data = np.load(path)
     tree: Dict[str, Any] = {}
+    meta: Dict[str, Any] = {}
     for name in data.files:
+        if name == "__meta__":
+            meta = _json.loads(str(data[name]))
+            continue
         node = tree
         parts = name.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(data[name])
-    return tree
+    return (tree, meta) if return_meta else tree
 
 
 # ===========================================================================

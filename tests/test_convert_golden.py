@@ -13,6 +13,7 @@ transposes, AND the flax modules' numerics in one shot.
 """
 
 import math
+import os
 import sys
 
 import numpy as np
@@ -358,10 +359,10 @@ class TVAE(tnn.Module):
 
     CH = (8, 8, 16, 16)
 
-    def __init__(self):
+    def __init__(self, ch=None, g=4):
         super().__init__()
-        ch = self.CH
-        g = 4
+        ch = ch or self.CH
+        self.ch = ch
         enc = tnn.Module()
         enc.conv_in = tnn.Conv2d(3, ch[0], 3, padding=1)
         enc.down_blocks = tnn.ModuleList([
@@ -1057,3 +1058,186 @@ def test_ip_adapter_conversion_targets_style_block():
     assert sorted(ip_keys) == sorted(
         f"params/up_0_attn_1/blocks_{k}/attn2/{n}/kernel"
         for k in (0, 1) for n in ("to_k_ip", "to_v_ip"))
+
+
+@pytest.mark.slow
+def test_convert_checkpoint_cli_end_to_end(tmp_path):
+    """Synthesize a complete fake i2vgen-xl snapshot dir (torch modules in
+    diffusers layout, tiny sizes) -> convert_checkpoint CLI (with structural
+    validation) -> build_i2vgen_pipeline(init=npz) -> run invert + PnP edit
+    on the CONVERTED weights, and golden-check the text encoder against the
+    HF source model."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    transformers = pytest.importorskip("transformers")
+
+    ch = (16, 32, 32, 32)
+    g, ctx, ted = 8, 32, 64
+
+    class Skeleton(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = tnn.Conv2d(8, ch[0], 3, padding=1)
+            self.transformer_in = TTemporalTransformer(ch[0], 8, 8, groups=g)
+            te = tnn.Module()
+            te.linear_1 = tnn.Linear(ch[0], ted)
+            te.linear_2 = tnn.Linear(ted, ted)
+            self.time_embedding = te
+            self.fps_embedding = tnn.Sequential(
+                tnn.Linear(ch[0], ted), tnn.SiLU(), tnn.Linear(ted, ted))
+            self.image_latents_proj_in = tnn.Sequential(
+                tnn.Conv2d(4, 16, 3, padding=1), tnn.SiLU(),
+                tnn.Conv2d(16, 16, 3, padding=1), tnn.SiLU(),
+                tnn.Conv2d(16, 4, 3, padding=1))
+            enc = tnn.Module()
+            enc.norm1 = tnn.LayerNorm(4)
+            enc.attn1 = TAttn(4, 4, 2, 4)
+            gelu_ff = tnn.Module()
+            net0 = tnn.Module(); net0.proj = tnn.Linear(4, 16)
+            gelu_ff.net = tnn.ModuleList([net0, tnn.Dropout(0.0), tnn.Linear(16, 4)])
+            enc.ff = gelu_ff
+            self.image_latents_temporal_encoder = enc
+            self.image_latents_context_embedding = tnn.Sequential(
+                tnn.Conv2d(4, 32, 3, padding=1), tnn.SiLU(),
+                tnn.AdaptiveAvgPool2d((32, 32)),
+                tnn.Conv2d(32, 64, 3, stride=2, padding=1), tnn.SiLU(),
+                tnn.Conv2d(64, ctx, 3, stride=2, padding=1))
+            self.context_embedding = tnn.Sequential(
+                tnn.Linear(ctx, ted * 4), tnn.SiLU(),
+                tnn.Linear(ted * 4, ctx * 2))   # 2 image context tokens
+            self.down_blocks = tnn.ModuleList()
+            cin = ch[0]
+            for i, c in enumerate(ch):
+                blk = tnn.Module()
+                blk.resnets = tnn.ModuleList([TResnet(cin, c, temb_dim=ted, groups=g)])
+                blk.temp_convs = tnn.ModuleList([TTempConv(c, g)])
+                if i < 3:
+                    blk.attentions = tnn.ModuleList(
+                        [TSpatialTransformer(c, ctx, 8, c // 8, g)])
+                    blk.temp_attentions = tnn.ModuleList(
+                        [TTemporalTransformer(c, 8, c // 8, g)])
+                    down = tnn.Module()
+                    down.conv = tnn.Conv2d(c, c, 3, stride=2, padding=1)
+                    blk.downsamplers = tnn.ModuleList([down])
+                self.down_blocks.append(blk)
+                cin = c
+            mid = tnn.Module()
+            c = ch[-1]
+            mid.resnets = tnn.ModuleList([TResnet(c, c, temb_dim=ted, groups=g),
+                                          TResnet(c, c, temb_dim=ted, groups=g)])
+            mid.temp_convs = tnn.ModuleList([TTempConv(c, g), TTempConv(c, g)])
+            mid.attentions = tnn.ModuleList([TSpatialTransformer(c, ctx, 8, c // 8, g)])
+            mid.temp_attentions = tnn.ModuleList([TTemporalTransformer(c, 8, c // 8, g)])
+            self.mid_block = mid
+            rev = tuple(reversed(ch))
+            stack = [ch[0]]
+            for i, c in enumerate(ch):
+                stack.append(c)
+                if i < 3:
+                    stack.append(c)
+            self.up_blocks = tnn.ModuleList()
+            cur = ch[-1]
+            for i, c in enumerate(rev):
+                blk = tnn.Module()
+                resnets = []
+                for j in range(2):
+                    skip = stack.pop()
+                    resnets.append(TResnet(cur + skip, c, temb_dim=ted, groups=g))
+                    cur = c
+                blk.resnets = tnn.ModuleList(resnets)
+                blk.temp_convs = tnn.ModuleList([TTempConv(c, g), TTempConv(c, g)])
+                if i > 0:
+                    blk.attentions = tnn.ModuleList(
+                        [TSpatialTransformer(c, ctx, 8, c // 8, g) for _ in range(2)])
+                    blk.temp_attentions = tnn.ModuleList(
+                        [TTemporalTransformer(c, 8, c // 8, g) for _ in range(2)])
+                if i < 3:
+                    up = tnn.Module()
+                    up.conv = tnn.Conv2d(c, c, 3, padding=1)
+                    blk.upsamplers = tnn.ModuleList([up])
+                self.up_blocks.append(blk)
+            self.conv_norm_out = tnn.GroupNorm(g, ch[0], eps=1e-5)
+            self.conv_out = tnn.Conv2d(ch[0], 4, 3, padding=1)
+
+    torch.manual_seed(12)
+    src = tmp_path / "snapshot"
+    # unet
+    (src / "unet").mkdir(parents=True)
+    unet_t = Skeleton()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd_np(unet_t).items()},
+              str(src / "unet" / "diffusion_pytorch_model.safetensors"))
+    (src / "unet" / "config.json").write_text(json.dumps({
+        "block_out_channels": list(ch), "layers_per_block": 1,
+        "attention_head_dim": 8, "cross_attention_dim": ctx,
+        "norm_num_groups": g}))
+    # vae (i2vgen-tiny VAEConfig: (16,16,32,32), 1 layer, groups 8)
+    (src / "vae").mkdir()
+    vae_t = TVAE(ch=(16, 16, 32, 32), g=8)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd_np(vae_t).items()},
+              str(src / "vae" / "diffusion_pytorch_model.safetensors"))
+    (src / "vae" / "config.json").write_text(json.dumps({
+        "block_out_channels": [16, 16, 32, 32], "layers_per_block": 1}))
+    # text encoder (transformers, matching i2vgen-tiny text cfg)
+    (src / "text_encoder").mkdir()
+    hf_text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+        vocab_size=49408, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="gelu")).eval()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd_np(hf_text).items()},
+              str(src / "text_encoder" / "model.safetensors"))
+    (src / "text_encoder" / "config.json").write_text(
+        json.dumps({"num_hidden_layers": 2}))
+    # image encoder
+    (src / "image_encoder").mkdir()
+    hf_vis = transformers.CLIPVisionModelWithProjection(
+        transformers.CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=224, patch_size=32,
+            projection_dim=32, hidden_act="gelu")).eval()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd_np(hf_vis).items()},
+              str(src / "image_encoder" / "model.safetensors"))
+    (src / "image_encoder" / "config.json").write_text(
+        json.dumps({"num_hidden_layers": 2}))
+
+    # --- convert via the CLI (validation on: block_out_channels etc. from
+    #     the fake config.json must produce a tree matching the flax module)
+    from anyv2v_tpu.cli import convert_checkpoint
+
+    out_npz = str(tmp_path / "i2v_tiny.npz")
+    convert_checkpoint.main(["--backbone", "i2vgen-xl", "--src", str(src),
+                             "--out", out_npz])
+    assert os.path.exists(out_npz)
+
+    # --- build from the converted npz and RUN the two-phase flow -----------
+    from anyv2v_tpu.utils.model_zoo import build_i2vgen_pipeline
+
+    pipe = build_i2vgen_pipeline(arch="i2vgen-tiny", init=out_npz,
+                                 dtype=jnp.float32)
+    # converted text encoder must match the HF source exactly
+    ids = np.zeros((1, 8), np.int64); ids[0, 0] = 49406; ids[0, 1] = 49407
+    with torch.no_grad():
+        want = hf_text(torch.from_numpy(np.pad(ids, ((0, 0), (0, 69)),
+                                               constant_values=0))
+                       ).last_hidden_state.numpy()[:, :8]
+    got = np.asarray(pipe.encode_text(jnp.asarray(
+        np.pad(ids, ((0, 0), (0, 69)), constant_values=0))))[:, :8]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    rng2 = np.random.RandomState(0)
+    frames01 = jnp.asarray(rng2.rand(2, 128, 128, 3).astype(np.float32))
+    latents = pipe.encode_video(frames01)
+    text = pipe.encode_text(jnp.zeros((1, 8), jnp.int32))
+    img_lat = pipe.prepare_image_latents(frames01[0], 2)
+    img_emb = pipe.encode_image_clip(jnp.asarray(
+        rng2.rand(1, 224, 224, 3).astype(np.float32)))
+    traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=10)
+    out = pipe.sample_with_pnp(
+        traj, inv_ts,
+        text_embeds_all=jnp.tile(text, (3, 1, 1)),
+        image_latents_all=jnp.tile(img_lat, (3, 1, 1, 1, 1)),
+        image_embeds_all=jnp.tile(img_emb, (3, 1, 1)),
+        num_inference_steps=5, t_idx=1)
+    assert np.isfinite(np.asarray(out)).all()
