@@ -1,0 +1,78 @@
+"""Shared pipeline plumbing: the VAE latent codec and text encoding that all
+backbone pipelines use identically (the reference duplicates these per
+backbone tree — ``encode_vae_video`` / ``decode_latents`` clones in
+``pipeline_i2vgen_xl.py:565/443``, ``pipeline_video_editing.py:1226/358``,
+``seine/run_ddim_inversion.py:222+``)."""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+
+from ..models.vae import sample_from_moments
+
+
+class LatentCodecMixin:
+    """Expects ``vae``, ``text_encoder``, ``params`` attributes. Sharding
+    hooks are identity by default; mesh-aware pipelines override them."""
+
+    def _put_frames(self, x: jax.Array) -> jax.Array:
+        return x
+
+    @cached_property
+    def _encode_frames(self):
+        @jax.jit
+        def fn(params, frames01):
+            """[N, H, W, 3] in [0,1] -> scaled latents [N, h, w, 4] (mode)."""
+            x = frames01 * 2.0 - 1.0
+            moments = self.vae.apply(params["vae"], x, method="encode_moments")
+            z = sample_from_moments(moments)
+            return z.astype(jnp.float32) * self.vae.config.scaling_factor
+
+        return fn
+
+    def encode_video(self, frames01: jax.Array, chunk_size: int = 16) -> jax.Array:
+        """[F, H, W, 3] -> [1, F, h, w, 4].
+
+        Frames run in ``chunk_size`` batches: one 128-frame 512^2 VAE encode
+        needs ~24 GB of activations — over a single chip's HBM (the reference
+        hits the same wall and loops per frame / uses decode_chunk_size;
+        frame-axis sharding subsumes this on a mesh, but the single-chip path
+        must bound peak memory). Equal chunks reuse one compiled program."""
+        n = frames01.shape[0]
+        if n <= chunk_size:
+            return self._encode_frames(self.params, self._put_frames(frames01))[None]
+        outs = [
+            self._encode_frames(self.params, self._put_frames(frames01[i:i + chunk_size]))
+            for i in range(0, n, chunk_size)
+        ]
+        return jnp.concatenate(outs, axis=0)[None]
+
+    @cached_property
+    def _decode(self):
+        @jax.jit
+        def fn(params, latents):
+            z = latents / self.vae.config.scaling_factor
+            img = self.vae.apply(params["vae"], z, method="decode")
+            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        return fn
+
+    def decode_latents(self, latents: jax.Array, chunk_size: int = 16) -> jax.Array:
+        """[1, F, h, w, 4] -> video [F, H, W, 3] in [0, 1] (chunked like
+        encode; the reference's ``decode_chunk_size`` equivalent)."""
+        z = latents[0]
+        n = z.shape[0]
+        if n <= chunk_size:
+            return self._decode(self.params, self._put_frames(z))
+        outs = [
+            self._decode(self.params, self._put_frames(z[i:i + chunk_size]))
+            for i in range(0, n, chunk_size)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    def encode_text(self, input_ids: jax.Array) -> jax.Array:
+        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
+        return hidden

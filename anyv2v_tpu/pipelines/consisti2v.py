@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
+from .common import LatentCodecMixin
 from ..models.unet_videoldm import VideoLDMUNet
 from ..models.unet_i2vgen import PnPFlags
 from ..models.vae import AutoencoderKL, sample_from_moments
@@ -68,7 +69,7 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
 
 
 @dataclasses.dataclass
-class ConsistI2VPipeline:
+class ConsistI2VPipeline(LatentCodecMixin):
     unet: VideoLDMUNet
     vae: AutoencoderKL
     text_encoder: CLIPTextModel
@@ -76,38 +77,7 @@ class ConsistI2VPipeline:
     params: Dict[str, Any]
     cache_dtype: jnp.dtype = jnp.float32
 
-    # -- encoders (shared semantics with the i2vgen pipeline) --------------
-
-    @cached_property
-    def _encode_frames(self):
-        @jax.jit
-        def fn(params, frames01):
-            x = frames01 * 2.0 - 1.0
-            moments = self.vae.apply(params["vae"], x, method="encode_moments")
-            z = sample_from_moments(moments)
-            return z.astype(jnp.float32) * self.vae.config.scaling_factor
-
-        return fn
-
-    def encode_video(self, frames01: jax.Array) -> jax.Array:
-        return self._encode_frames(self.params, frames01)[None]
-
-    def encode_text(self, input_ids: jax.Array) -> jax.Array:
-        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
-        return hidden
-
-    @cached_property
-    def _decode(self):
-        @jax.jit
-        def fn(params, latents):
-            z = latents / self.vae.config.scaling_factor
-            img = self.vae.apply(params["vae"], z, method="decode")
-            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
-
-        return fn
-
-    def decode_latents(self, latents: jax.Array) -> jax.Array:
-        return self._decode(self.params, latents[0])
+    # encoders/decoders come from LatentCodecMixin
 
     # -- inversion -----------------------------------------------------------
 

@@ -34,6 +34,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..models.clip import CLIPTextModel, CLIPVisionModel
+from .common import LatentCodecMixin
 from ..models.unet_i2vgen import I2VGenUNet, PnPFlags
 from ..models.vae import AutoencoderKL, sample_from_moments
 from ..schedulers import (
@@ -57,7 +58,7 @@ class PnPConfig:
 
 
 @dataclasses.dataclass
-class I2VGenPipeline:
+class I2VGenPipeline(LatentCodecMixin):
     """Module bundle + compiled drivers. Params are a single dict with keys
     ``unet / vae / text / vision`` (each a flax variables dict).
 
@@ -132,22 +133,8 @@ class I2VGenPipeline:
     # encoders
     # ------------------------------------------------------------------
 
-    @cached_property
-    def _encode_frames(self):
-        @jax.jit
-        def fn(params, frames01):
-            """[N, H, W, 3] in [0,1] -> scaled latents [N, h, w, 4] (mode)."""
-            x = frames01 * 2.0 - 1.0
-            moments = self.vae.apply(params["vae"], x, method="encode_moments")
-            z = sample_from_moments(moments)
-            return z.astype(jnp.float32) * self.vae.config.scaling_factor
-
-        return fn
-
-    def encode_video(self, frames01: jax.Array) -> jax.Array:
-        """[F, H, W, 3] -> [1, F, h, w, 4] (reference ``encode_vae_video``,
-        per-frame loop at ``pipeline_i2vgen_xl.py:565-592`` -> one batch)."""
-        return self._encode_frames(self.params, self._put_frames(frames01))[None]
+    # _encode_frames / encode_video / _decode / decode_latents / encode_text
+    # come from LatentCodecMixin; _put_frames (below) shards over the mesh.
 
     def prepare_image_latents(self, image01: jax.Array, num_frames: int) -> jax.Array:
         """Conditioning-frame latent + (F-1) position-mask frames scaled
@@ -166,12 +153,6 @@ class I2VGenPipeline:
         (reference ``_encode_image``, ``pipeline_i2vgen_xl.py:411``)."""
         _, embeds = self.vision_encoder.apply(self.params["vision"], image_clip)
         return embeds[:, None, :]
-
-    def encode_text(self, input_ids: jax.Array) -> jax.Array:
-        """token ids [B, S] -> last_hidden_state [B, S, D]
-        (reference ``encode_prompt``, ``pipeline_i2vgen_xl.py:224``)."""
-        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
-        return hidden
 
     # ------------------------------------------------------------------
     # inversion
@@ -405,22 +386,3 @@ class I2VGenPipeline:
             do_cfg=do_cfg,
         )
 
-    # ------------------------------------------------------------------
-    # decode
-    # ------------------------------------------------------------------
-
-    @cached_property
-    def _decode(self):
-        @jax.jit
-        def fn(params, latents):
-            z = latents / self.vae.config.scaling_factor
-            img = self.vae.apply(params["vae"], z, method="decode")
-            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
-
-        return fn
-
-    def decode_latents(self, latents: jax.Array) -> jax.Array:
-        """[1, F, h, w, 4] -> video [F, H, W, 3] in [0, 1] (reference
-        ``decode_latents`` chunked loop, ``pipeline_i2vgen_xl.py:443-456`` —
-        frames are batch here)."""
-        return self._decode(self.params, self._put_frames(latents[0]))

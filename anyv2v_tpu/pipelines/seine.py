@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
+from .common import LatentCodecMixin
 from ..models.unet_seine import SeinePnPFlags, SeineUNet
 from ..models.vae import AutoencoderKL, sample_from_moments
 from ..ops.pnp import injection_step_mask
@@ -63,7 +64,7 @@ def ddpm_grid(schedule: DiffusionSchedule, num_inference_steps: int) -> np.ndarr
 
 
 @dataclasses.dataclass
-class SeinePipeline:
+class SeinePipeline(LatentCodecMixin):
     unet: SeineUNet
     vae: AutoencoderKL
     text_encoder: CLIPTextModel
@@ -71,38 +72,7 @@ class SeinePipeline:
     params: Dict[str, Any]
     cache_dtype: jnp.dtype = jnp.float32
 
-    # -- encoders ----------------------------------------------------------
-
-    @cached_property
-    def _encode_frames(self):
-        @jax.jit
-        def fn(params, frames01):
-            x = frames01 * 2.0 - 1.0
-            moments = self.vae.apply(params["vae"], x, method="encode_moments")
-            z = sample_from_moments(moments)
-            return z.astype(jnp.float32) * self.vae.config.scaling_factor
-
-        return fn
-
-    def encode_video(self, frames01: jax.Array) -> jax.Array:
-        return self._encode_frames(self.params, frames01)[None]
-
-    def encode_text(self, input_ids: jax.Array) -> jax.Array:
-        hidden, _ = self.text_encoder.apply(self.params["text"], input_ids)
-        return hidden
-
-    @cached_property
-    def _decode(self):
-        @jax.jit
-        def fn(params, latents):
-            z = latents / self.vae.config.scaling_factor
-            img = self.vae.apply(params["vae"], z, method="decode")
-            return jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
-
-        return fn
-
-    def decode_latents(self, latents: jax.Array) -> jax.Array:
-        return self._decode(self.params, latents[0])
+    # encoders/decoders come from LatentCodecMixin
 
     def build_masked_inputs(self, first_frame01: jax.Array, num_frames: int
                             ) -> Tuple[jax.Array, jax.Array]:

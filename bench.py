@@ -48,7 +48,12 @@ def main() -> None:
     profile_dir = os.environ.get("BENCH_PROFILE")
 
     full = os.environ.get("BENCH_FULL", "0") == "1"
-    n_frames, hw = 16, (512, 512)
+    # BENCH_FRAMES=128 measures the long-video path (reference README:182);
+    # the full 500-point fp32 trajectory would not fit one chip's HBM at 128
+    # frames (16.8 GB) — long-video full grids need the frame-sharded mesh or
+    # a bf16/host-offloaded cache, so 128-frame runs stay projected.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    hw = (512, 512)
     arch = os.environ.get("BENCH_ARCH", "i2vgen-xl")
 
     _log(f"building pipeline arch={arch}")
@@ -127,7 +132,7 @@ def main() -> None:
 
     total = t_invert_total + t_edit_total + t_vae_encode + t_vae_decode
     print(json.dumps({
-        "metric": "16f 512^2 i2vgen-xl invert(500)+pnp-edit(50) wall-clock, 1 chip"
+        "metric": f"{n_frames}f 512^2 i2vgen-xl invert(500)+pnp-edit(50) wall-clock, 1 chip"
                   + ("" if full else " (projected from warm short scans)"),
         "value": round(total, 3),
         "unit": "s",
