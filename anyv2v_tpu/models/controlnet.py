@@ -10,7 +10,6 @@ plus a mid residual. Outputs are scaled by ``conditioning_scale``.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import jax

@@ -27,7 +27,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 # Minimum query length for the flash kernel to beat XLA on v5e (measured:
 # parity at 256, 1.1-1.6x at 1024-4096; below 256 tile padding dominates).

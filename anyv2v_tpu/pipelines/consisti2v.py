@@ -35,7 +35,7 @@ from ..models.clip import CLIPTextModel
 from .common import LatentCodecMixin
 from ..models.unet_videoldm import VideoLDMUNet
 from ..models.unet_i2vgen import PnPFlags
-from ..models.vae import AutoencoderKL, sample_from_moments
+from ..models.vae import AutoencoderKL
 from ..ops.freeinit import FILTERS, freq_mix_3d
 from ..ops.pnp import injection_step_mask
 from ..schedulers import (

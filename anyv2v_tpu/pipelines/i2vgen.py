@@ -36,7 +36,7 @@ from jax.sharding import Mesh
 from ..models.clip import CLIPTextModel, CLIPVisionModel
 from .common import LatentCodecMixin
 from ..models.unet_i2vgen import I2VGenUNet, PnPFlags
-from ..models.vae import AutoencoderKL, sample_from_moments
+from ..models.vae import AutoencoderKL
 from ..schedulers import (
     DiffusionSchedule,
     ddim_inverse_step,

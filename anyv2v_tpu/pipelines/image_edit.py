@@ -28,14 +28,12 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.clip import CLIPTextModel
 from ..models.unet_sd import SDUNet
 from ..models.vae import AutoencoderKL
 from ..schedulers import DiffusionSchedule
 from ..schedulers.euler import (
-    EDMGrid,
     edm_grid,
     edm_scale_model_input,
     edm_step_v,

@@ -32,7 +32,7 @@ import numpy as np
 from ..models.clip import CLIPTextModel
 from .common import LatentCodecMixin
 from ..models.unet_seine import SeinePnPFlags, SeineUNet
-from ..models.vae import AutoencoderKL, sample_from_moments
+from ..models.vae import AutoencoderKL
 from ..ops.pnp import injection_step_mask
 from ..schedulers import (
     DiffusionSchedule,

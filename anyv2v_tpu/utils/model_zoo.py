@@ -14,7 +14,6 @@ params come from one of:
 
 from __future__ import annotations
 
-import io as _io
 import os
 from typing import Any, Dict, Tuple
 

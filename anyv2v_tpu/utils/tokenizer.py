@@ -13,7 +13,6 @@ import functools
 import gzip
 import html
 import json
-import os
 import re
 from typing import Dict, List, Optional, Tuple
 
