@@ -181,3 +181,42 @@ def main(argv=None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def infer_video_style(model, video_path: str, output_dir: str,
+                      style_image_path: str, prompt: str = "masterpiece, best quality, high quality",
+                      style_clip_embed=None, text_embeds2=None, pooled2=None,
+                      seed: int = 42, overwrite: bool = False,
+                      num_inference_steps: int = 30) -> str:
+    """First-frame style transfer (reference ``black_box_image_edit/utils.py
+    :142-173`` infer_video_style): canny of the source first frame controls
+    structure, the style image's CLIP embedding drives the IP-Adapter.
+
+    Without loaded encoders (offline smoke), embeddings default to zeros;
+    real runs pass precomputed SDXL/CLIP-vision embeddings."""
+    import jax.numpy as jnp
+
+    os.makedirs(output_dir, exist_ok=True)
+    result_path = os.path.join(output_dir, prompt + ".png")
+    if os.path.exists(result_path) and not overwrite:
+        logger.info("Result already exists: %s", result_path)
+        return result_path
+
+    first = read_first_frame(video_path)
+    content01 = jnp.asarray(np.asarray(first, np.float32) / 255.0)
+    D = model.unet.config.cross_attention_dim
+    pd = (model.unet.config.projection_class_embeddings_input_dim
+          - 6 * model.unet.config.addition_time_embed_dim)
+    clip_dim = model.params["image_proj"]["params"]["proj"]["kernel"].shape[0]
+    if style_clip_embed is None:
+        style_clip_embed = jnp.zeros((1, clip_dim))
+    if text_embeds2 is None:
+        text_embeds2 = jnp.zeros((2, 77, D))
+    if pooled2 is None:
+        pooled2 = jnp.zeros((2, pd))
+    out = model.edit_with_style(content01, style_clip_embed, text_embeds2,
+                                pooled2, num_inference_steps=num_inference_steps,
+                                seed=seed)
+    Image.fromarray((np.asarray(out) * 255).astype(np.uint8)).save(result_path)
+    logger.info("Processed and saved the styled first frame: %s", result_path)
+    return result_path

@@ -156,3 +156,62 @@ class InstantStylePipeline:
             jnp.float32(controlnet_conditioning_scale), float(ip_scale),
         )
         return self._decode(self.params, out)[0]
+
+
+class Resampler(nn.Module):
+    """Perceiver resampler for IP-Adapter-Plus variants
+    (``ip_adapter/resampler.py:81-147``): learned latents cross-attend to the
+    CLIP patch sequence through ``depth`` blocks of (attention over
+    concat([image_tokens, latents]) + feed-forward), then project out.
+
+    InstantStyle itself uses the base IPAdapterXL (pooled embed ->
+    ImageProjModel); this covers the Plus variants of the reference's
+    adapter zoo."""
+
+    dim: int = 1024
+    depth: int = 4
+    heads: int = 12
+    head_dim: int = 64
+    num_queries: int = 16
+    embedding_dim: int = 1280      # CLIP vision hidden size
+    output_dim: int = 2048         # cross_attention_dim
+    ff_mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_tokens: jax.Array) -> jax.Array:
+        """[B, S_img, embedding_dim] -> [B, num_queries, output_dim]."""
+        b = image_tokens.shape[0]
+        inner = self.heads * self.head_dim
+        latents = self.param("latents", nn.initializers.normal(1.0 / self.dim**0.5),
+                             (self.num_queries, self.dim))
+        x = jnp.tile(latents[None], (b, 1, 1)).astype(self.dtype)
+        tokens = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(
+            image_tokens.astype(self.dtype))
+        for i in range(self.depth):
+            ln1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name=f"layers_{i}_norm1")(tokens).astype(self.dtype)
+            ln2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name=f"layers_{i}_norm2")(x).astype(self.dtype)
+            kv = jnp.concatenate([ln1, ln2], axis=1)  # reference: kv = [x, latents]
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name=f"layers_{i}_to_q")(ln2)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name=f"layers_{i}_to_kv_k")(kv)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                         name=f"layers_{i}_to_kv_v")(kv)
+            from ..ops.attention import multi_head_attention
+
+            attn = multi_head_attention(q, k, v, heads=self.heads)
+            x = x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                             name=f"layers_{i}_to_out")(attn)
+            lnf = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                               name=f"layers_{i}_ff_norm")(x).astype(self.dtype)
+            h = nn.Dense(self.dim * self.ff_mult, use_bias=False, dtype=self.dtype,
+                         name=f"layers_{i}_ff_in")(lnf)
+            h = nn.gelu(h, approximate=False)
+            x = x + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                             name=f"layers_{i}_ff_out")(h)
+        x = nn.Dense(self.output_dim, dtype=self.dtype, name="proj_out")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            name="norm_out")(x).astype(self.dtype)

@@ -239,3 +239,30 @@ class SeinePipeline(LatentCodecMixin):
             step_data, jnp.float32(cfg_scale), noises,
             sampler=sampler, do_cfg=cfg_scale > 1.0,
         )
+
+
+def seine_frame_mask(mask_type: str, num_frames: int, h: int, w: int) -> jnp.ndarray:
+    """Reference ``seine/seine_utils.py:5-29`` frame-mask builder, channels-
+    last [1, F, h, w, 1]: 0 = keep (conditioning frame), 1 = generate.
+
+    - "firstN": first N frames kept;
+    - "all": everything generated;
+    - "onelastN": N frames kept at each end (SEINE's transition mode).
+    AnyV2V uses "first1" (``run_ddim_inversion.py:222-256``).
+    """
+    if mask_type.startswith("first"):
+        num = int(mask_type.split("first")[-1])
+        per_frame = np.concatenate(
+            [np.zeros(num, np.float32), np.ones(num_frames - num, np.float32)])
+    elif mask_type.startswith("all"):
+        per_frame = np.ones(num_frames, np.float32)
+    elif mask_type.startswith("onelast"):
+        num = int(mask_type.split("onelast")[-1])
+        per_frame = np.concatenate(
+            [np.zeros(num, np.float32),
+             np.ones(num_frames - 2 * num, np.float32),
+             np.zeros(num, np.float32)])
+    else:
+        raise ValueError(f"Invalid mask type: {mask_type}")
+    return jnp.asarray(per_frame)[None, :, None, None, None] * jnp.ones(
+        (1, num_frames, h, w, 1), jnp.float32)

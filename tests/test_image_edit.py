@@ -256,3 +256,35 @@ def test_instantstyle_pipeline_smoke():
                                   num_inference_steps=3, seed=1,
                                   controlnet_conditioning_scale=0.0)
     assert not np.allclose(np.asarray(out), np.asarray(out_nc), atol=1e-5)
+
+
+def test_resampler_and_attn_maps_and_seine_mask():
+    """Small inventory surfaces: IP-Adapter-Plus Resampler shape/finiteness,
+    attention-map extraction, SEINE mask modes."""
+    from anyv2v_tpu.ops.attn_maps import attention_probs, attn_map_grid
+    from anyv2v_tpu.pipelines.instantstyle import Resampler
+    from anyv2v_tpu.pipelines.seine import seine_frame_mask
+
+    rng = np.random.RandomState(0)
+    r = Resampler(dim=16, depth=2, heads=2, head_dim=8, num_queries=4,
+                  embedding_dim=8, output_dim=12)
+    tokens = jnp.asarray(rng.randn(2, 5, 8).astype(np.float32))
+    params = r.init(jax.random.PRNGKey(0), tokens)
+    out = r.apply(params, tokens)
+    assert out.shape == (2, 4, 12)
+    assert np.isfinite(np.asarray(out)).all()
+
+    q = jnp.asarray(rng.randn(1, 16, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 5, 8).astype(np.float32))
+    probs = attention_probs(q, k, heads=2)
+    assert probs.shape == (1, 2, 16, 5)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+    grid = attn_map_grid(probs, 4, 4, token_idx=1)
+    assert grid.shape == (1, 4, 4)
+
+    m = np.asarray(seine_frame_mask("first1", 6, 2, 2))[0, :, 0, 0, 0]
+    np.testing.assert_array_equal(m, [0, 1, 1, 1, 1, 1])
+    m = np.asarray(seine_frame_mask("onelast2", 8, 2, 2))[0, :, 0, 0, 0]
+    np.testing.assert_array_equal(m, [0, 0, 1, 1, 1, 1, 0, 0])
+    m = np.asarray(seine_frame_mask("all", 3, 2, 2))
+    assert m.min() == 1.0
