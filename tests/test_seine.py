@@ -200,3 +200,106 @@ def test_seine_cli_two_phase_e2e(tmp_path):
     ])
     assert os.path.exists(os.path.join(out_dir, "edited_video.mp4"))
     assert os.path.exists(os.path.join(out_dir, "frames", "00000.png"))
+
+
+def test_seine_transformer_block_golden():
+    """Full SEINE BasicTransformerBlock semantics vs a hand-built torch
+    reference (seine/models/attention.py:439-647): spatial attn1 -> cross
+    attn2 -> temporal attn_temp with T5 relative-position bias added to the
+    SCALED scores (:813-815, scale applied to q before the matmul) -> GEGLU
+    ff, with the temporal fold [(B F), HW, C] -> [(B HW), F, C]."""
+    import math
+
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+    from einops import rearrange
+
+    from anyv2v_tpu.models.unet_seine import _SeineTransformerBlock
+    from anyv2v_tpu.utils import convert as C
+    from tests.test_convert_golden import TAttn, TFF, sd_pref
+
+    F_, HW, Cc, CTX, HEADS = 3, 4, 8, 12, 2
+    BUCKETS, MAXD = 32, 32
+
+    class TTemporalAttn(tnn.Module):
+        """Reference TemporalAttention._attention (:860-917): scores =
+        (scale*q) @ k^T + rel-pos bias, softmax, @v."""
+
+        def __init__(self):
+            super().__init__()
+            self.to_q = tnn.Linear(Cc, Cc, bias=False)
+            self.to_k = tnn.Linear(Cc, Cc, bias=False)
+            self.to_v = tnn.Linear(Cc, Cc, bias=False)
+            self.to_out = tnn.ModuleList([tnn.Linear(Cc, Cc), tnn.Dropout(0.0)])
+            bias = tnn.Module()
+            bias.relative_attention_bias = tnn.Embedding(BUCKETS, HEADS)
+            self.time_rel_pos_bias = bias
+
+        def _bias(self, n):
+            # reference RelativePositionBias.forward (:930-967)
+            q_pos = torch.arange(n)
+            k_pos = torch.arange(n)
+            rel = k_pos[None, :] - q_pos[:, None]
+            nb = BUCKETS // 2
+            ret = (rel > 0).long() * nb
+            nabs = rel.abs()
+            max_exact = nb // 2
+            val_large = max_exact + (
+                torch.log(nabs.float().clamp(min=1) / max_exact)
+                / math.log(MAXD / max_exact) * (nb - max_exact)).long()
+            val_large = torch.minimum(val_large, torch.full_like(val_large, nb - 1))
+            bucket = ret + torch.where(nabs < max_exact, nabs, val_large)
+            vals = self.time_rel_pos_bias.relative_attention_bias(bucket)
+            return vals.permute(2, 0, 1)   # [heads, n, n]
+
+        def forward(self, x):  # [(B HW), F, C]
+            b, f, _ = x.shape
+            scale = 1.0 / math.sqrt(Cc // HEADS)
+            q = rearrange(self.to_q(x) * scale, "b f (h d) -> b h f d", h=HEADS)
+            k = rearrange(self.to_k(x), "b f (h d) -> b h f d", h=HEADS)
+            v = rearrange(self.to_v(x), "b f (h d) -> b h f d", h=HEADS)
+            s = torch.einsum("bhid,bhjd->bhij", q, k) + self._bias(f)[None]
+            p = s.softmax(-1)
+            o = torch.einsum("bhij,bhjd->bhid", p, v)
+            o = rearrange(o, "b h f d -> b f (h d)")
+            return self.to_out[0](o)
+
+    class TRef(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(Cc)
+            self.attn1 = TAttn(Cc, Cc, HEADS, Cc // HEADS)
+            self.norm2 = tnn.LayerNorm(Cc)
+            self.attn2 = TAttn(Cc, CTX, HEADS, Cc // HEADS)
+            self.norm_temp = tnn.LayerNorm(Cc)
+            self.attn_temp = TTemporalAttn()
+            self.norm3 = tnn.LayerNorm(Cc)
+            self.ff = TFF(Cc)
+
+        def forward(self, x, ctx):  # x: [(B F), HW, C] frame-major
+            x = x + self.attn1(self.norm1(x))
+            x = x + self.attn2(self.norm2(x), ctx)
+            bf = x.shape[0]
+            b = bf // F_
+            h = rearrange(x, "(b f) p c -> (b p) f c", f=F_)
+            h = self.attn_temp(self.norm_temp(h))
+            x = x + rearrange(h, "(b p) f c -> (b f) p c", p=HW)
+            x = x + self.ff(self.norm3(x))
+            return x
+
+    torch.manual_seed(3)
+    t = TRef().eval()
+    x = torch.randn(2 * F_, HW, Cc)
+    ctx = torch.randn(2 * F_, 5, CTX)
+    with torch.no_grad():
+        want = t(x, ctx)
+
+    params = {"params": C._seine_block(sd_pref(t), "m")}
+    m = _SeineTransformerBlock(
+        heads=HEADS, head_dim=Cc // HEADS, cross_attention_dim=CTX,
+        num_frames_hint=F_, relpos_num_buckets=BUCKETS, relpos_max_distance=MAXD,
+        dtype=jnp.float32, pnp_chunks=2)
+    got = m.apply(jax.tree_util.tree_map(jnp.asarray, params),
+                  jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=3e-5)
