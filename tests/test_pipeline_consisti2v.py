@@ -182,3 +182,19 @@ def test_camera_motion_synthesis():
     pr = CAMERA_MOTIONS["pan_right"](img, 4, 32)
     pl = CAMERA_MOTIONS["pan_left"](img, 4, 32)
     assert np.asarray(pr[0]).mean() != np.asarray(pl[0]).mean()
+
+
+def test_rescale_noise_cfg_formula():
+    """Guidance rescale (arXiv:2305.08891 §3.4, reference :50-61): output std
+    matches the text branch at rescale=1, unchanged at rescale=0."""
+    from anyv2v_tpu.pipelines.consisti2v import rescale_noise_cfg
+
+    rng = np.random.RandomState(0)
+    cfg_noise = jnp.asarray(rng.randn(2, 3, 4, 4, 4).astype(np.float32) * 3.0)
+    text_noise = jnp.asarray(rng.randn(2, 3, 4, 4, 4).astype(np.float32))
+    out0 = rescale_noise_cfg(cfg_noise, text_noise, 0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(cfg_noise))
+    out1 = rescale_noise_cfg(cfg_noise, text_noise, 1.0)
+    s_text = np.asarray(text_noise).std(axis=(1, 2, 3, 4))
+    s_out = np.asarray(out1).std(axis=(1, 2, 3, 4))
+    np.testing.assert_allclose(s_out, s_text, rtol=1e-3)

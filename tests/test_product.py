@@ -95,3 +95,22 @@ def test_build_demo_raises_without_gradio():
 
     with pytest.raises(ImportError, match="gradio"):
         build_demo("instructpix2pix")
+
+
+@pytest.mark.slow
+def test_headless_style_variant_e2e(tmp_path):
+    """The gradio_demo_style flow headless: InstantStyle first-frame edit
+    (canny + IP-Adapter) feeding AnyV2V (reference gradio_demo_style.py)."""
+    from anyv2v_tpu.product.gradio_app import run_headless
+
+    video = tmp_path / "v.mp4"
+    _make_video(video, n=4, h=64, w=64)
+    out = run_headless(
+        str(video), "van gogh style", "",
+        variant="style", editor="instantstyle-tiny",
+        out_dir=str(tmp_path / "out"),
+        runner_kwargs=dict(arch="i2vgen-tiny", dtype="float32"),
+        ddim_inversion_steps=10, num_inference_steps=5,
+        image_edit_steps=2,
+    )
+    assert os.path.exists(out)
