@@ -61,3 +61,25 @@ def test_multi_head_attention_pallas_backend():
     got = multi_head_attention(q, k, v, heads=2, backend="pallas")
     want = multi_head_attention(q, k, v, heads=2, backend="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_backend_through_model_layer(monkeypatch):
+    """Force backend=pallas (interpret mode on CPU) through a real
+    SpatialTransformer apply and compare against the XLA backend — guards the
+    model-level integration of the flash kernel, not just the kernel."""
+    import os
+
+    from anyv2v_tpu.models.layers import SpatialTransformer
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    ctx = jnp.asarray(rng.randn(2, 5, 12).astype(np.float32))
+    st = SpatialTransformer(heads=2, head_dim=8, cross_attention_dim=12, groups=4)
+    params = st.init(jax.random.PRNGKey(0), x, context=ctx)
+
+    monkeypatch.setenv("ANYV2V_ATTN_BACKEND", "xla")
+    want = st.apply(params, x, context=ctx)
+    monkeypatch.setenv("ANYV2V_ATTN_BACKEND", "pallas")
+    got = st.apply(params, x, context=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
