@@ -977,14 +977,19 @@ def convert_consisti2v_dir(src: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return params, {"backbone": "consisti2v"}
 
 
-def convert_seine_checkpoint(sd_path: str, ckpt_path: str
+def convert_seine_checkpoint(sd_path: str, ckpt_path: str,
+                             block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
+                             layers_per_block: int = 2,
                              ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """SD1.4 snapshot dir (vae/ text_encoder/) + seine.pt EMA dict ->
-    ({unet, vae, text}, meta) (reference ``seine/run_ddim_inversion.py:69-103``)."""
+    ({unet, vae, text}, meta) (reference ``seine/run_ddim_inversion.py:69-103``;
+    SEINE has no unet config.json — the SD1.4 arch is fixed upstream)."""
     import os as _os
 
     params = {
-        "unet": convert_unet_seine(load_torch_state_dict(ckpt_path)),
+        "unet": convert_unet_seine(load_torch_state_dict(ckpt_path),
+                                   block_out_channels=block_out_channels,
+                                   layers_per_block=layers_per_block),
         "vae": _convert_vae_dir(_os.path.join(sd_path, "vae")),
         "text": {"params": convert_clip_text(
             load_folder_state_dict(_os.path.join(sd_path, "text_encoder")),

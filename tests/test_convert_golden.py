@@ -1241,3 +1241,140 @@ def test_convert_checkpoint_cli_end_to_end(tmp_path):
         image_embeds_all=jnp.tile(img_emb, (3, 1, 1)),
         num_inference_steps=5, t_idx=1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_convert_seine_checkpoint_end_to_end(tmp_path):
+    """SEINE conversion path: SD1.4-style snapshot dir (vae + text_encoder)
+    plus a torch-pickled seine.pt whose weights live under the "ema" key
+    (reference seine/run_ddim_inversion.py:77) -> npz -> SeinePipeline runs
+    the masked two-phase flow on the converted weights."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    transformers = pytest.importorskip("transformers")
+
+    # reuse the SEINE structural skeleton at seine-tiny sizes
+    ch = (8, 16, 16, 16)
+    g, ctx, heads = 4, 16, 2
+    ted = ch[0] * 4
+
+    class TSeineBlock(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(c)
+            self.attn1 = TAttn(c, c, heads, c // heads)
+            self.norm2 = tnn.LayerNorm(c)
+            self.attn2 = TAttn(c, ctx, heads, c // heads)
+            self.norm_temp = tnn.LayerNorm(c)
+            self.attn_temp = TAttn(c, c, heads, c // heads)
+            bias = tnn.Module()
+            bias.relative_attention_bias = tnn.Embedding(32, heads)
+            self.attn_temp.time_rel_pos_bias = bias
+            self.norm3 = tnn.LayerNorm(c)
+            self.ff = TFF(c)
+
+    class TSeineTransformer(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.norm = tnn.GroupNorm(g, c, eps=1e-6)
+            self.proj_in = tnn.Conv2d(c, c, 1)
+            self.transformer_blocks = tnn.ModuleList([TSeineBlock(c)])
+            self.proj_out = tnn.Conv2d(c, c, 1)
+
+    class Skeleton(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_in = tnn.Conv2d(9, ch[0], 3, padding=1)
+            te = tnn.Module()
+            te.linear_1 = tnn.Linear(ch[0], ted)
+            te.linear_2 = tnn.Linear(ted, ted)
+            self.time_embedding = te
+            self.down_blocks = tnn.ModuleList()
+            cin = ch[0]
+            for i, c in enumerate(ch):
+                blk = tnn.Module()
+                blk.resnets = tnn.ModuleList([TResnet(cin, c, temb_dim=ted, groups=g)])
+                if i < 3:
+                    blk.attentions = tnn.ModuleList([TSeineTransformer(c)])
+                    down = tnn.Module()
+                    down.conv = tnn.Conv2d(c, c, 3, stride=2, padding=1)
+                    blk.downsamplers = tnn.ModuleList([down])
+                self.down_blocks.append(blk)
+                cin = c
+            mid = tnn.Module()
+            c = ch[-1]
+            mid.resnets = tnn.ModuleList([TResnet(c, c, temb_dim=ted, groups=g),
+                                          TResnet(c, c, temb_dim=ted, groups=g)])
+            mid.attentions = tnn.ModuleList([TSeineTransformer(c)])
+            self.mid_block = mid
+            rev = tuple(reversed(ch))
+            stack = [ch[0]]
+            for i, c in enumerate(ch):
+                stack.append(c)
+                if i < 3:
+                    stack.append(c)
+            self.up_blocks = tnn.ModuleList()
+            cur = ch[-1]
+            for i, c in enumerate(rev):
+                blk = tnn.Module()
+                resnets = []
+                for j in range(2):
+                    skip = stack.pop()
+                    resnets.append(TResnet(cur + skip, c, temb_dim=ted, groups=g))
+                    cur = c
+                blk.resnets = tnn.ModuleList(resnets)
+                if i > 0:
+                    blk.attentions = tnn.ModuleList(
+                        [TSeineTransformer(c), TSeineTransformer(c)])
+                if i < 3:
+                    up = tnn.Module()
+                    up.conv = tnn.Conv2d(c, c, 3, padding=1)
+                    blk.upsamplers = tnn.ModuleList([up])
+                self.up_blocks.append(blk)
+            self.conv_norm_out = tnn.GroupNorm(g, ch[0], eps=1e-5)
+            self.conv_out = tnn.Conv2d(ch[0], 4, 3, padding=1)
+
+    torch.manual_seed(13)
+    skel = Skeleton()
+    ckpt = tmp_path / "seine.pt"
+    torch.save({"ema": skel.state_dict(), "other": {"junk": 1}}, str(ckpt))
+
+    sd_dir = tmp_path / "sd14"
+    (sd_dir / "vae").mkdir(parents=True)
+    vae_t = TVAE(ch=(8, 8, 16, 16), g=4)
+    save_file({k: np.ascontiguousarray(v) for k, v in sd_np(vae_t).items()},
+              str(sd_dir / "vae" / "diffusion_pytorch_model.safetensors"))
+    (sd_dir / "vae" / "config.json").write_text(json.dumps(
+        {"block_out_channels": [8, 8, 16, 16], "layers_per_block": 1}))
+    (sd_dir / "text_encoder").mkdir()
+    hf_text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+        vocab_size=49408, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu")).eval()
+    save_file({k: np.ascontiguousarray(v) for k, v in sd_np(hf_text).items()},
+              str(sd_dir / "text_encoder" / "model.safetensors"))
+    (sd_dir / "text_encoder" / "config.json").write_text(
+        json.dumps({"num_hidden_layers": 1}))
+
+    from anyv2v_tpu.utils.convert import convert_seine_checkpoint
+    from anyv2v_tpu.utils.model_zoo import save_params
+
+    params, meta = convert_seine_checkpoint(str(sd_dir), str(ckpt),
+                                            block_out_channels=ch,
+                                            layers_per_block=1)
+    out_npz = str(tmp_path / "seine_tiny.npz")
+    save_params(out_npz, params, meta=meta)
+
+    from anyv2v_tpu.utils.model_zoo import build_seine_pipeline
+
+    pipe = build_seine_pipeline(arch="seine-tiny", init=out_npz)
+    rng2 = np.random.RandomState(0)
+    frames01 = jnp.asarray(rng2.rand(2, 64, 64, 3).astype(np.float32))
+    latents = pipe.encode_video(frames01)
+    mask, masked = pipe.build_masked_inputs(frames01[0], 2)
+    text = pipe.encode_text(jnp.zeros((1, 8), jnp.int32))
+    traj, ts = pipe.invert(latents, mask, masked, text,
+                           num_inversion_steps=10, num_save_steps=10)
+    assert np.isfinite(np.asarray(traj)).all()
