@@ -88,8 +88,5 @@ def load_frames_for_config(cfg) -> list:
     )
 
 
-def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
-    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
-    if mse == 0:
-        return float("inf")
-    return 10.0 * np.log10(data_range**2 / mse)
+# canonical implementations live in utils.metrics; re-exported for the CLIs
+from ..utils.metrics import psnr  # noqa: E402,F401

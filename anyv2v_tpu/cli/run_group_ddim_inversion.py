@@ -99,9 +99,14 @@ def ddim_reconstruction(pipe, tokenizer, cfg, latents, traj, inv_ts, img_lat, im
     out = os.path.join(cfg.output_dir, "ddim_reconstruction.mp4")
     vio.save_video(np.asarray(video), out, fps=int(rc.get("target_fps", 8)))
     source = pipe.decode_latents(latents)
-    score = psnr(np.asarray(video), np.asarray(source))
-    logger.info("reconstruction PSNR vs source decode: %.2f dB -> %s", score, out)
-    return score
+    from ..utils.metrics import video_report
+
+    report = video_report(np.asarray(video), np.asarray(source))
+    logger.info(
+        "reconstruction vs source decode: PSNR %.2f dB, SSIM %.4f, temporal "
+        "consistency PSNR %.2f / SSIM %.4f -> %s",
+        report["psnr"], report["ssim"], report["psnr_t"], report["ssim_t"], out)
+    return report["psnr"]
 
 
 def main(argv=None):

@@ -147,3 +147,27 @@ def test_profiling_timers_and_trace_noop(tmp_path):
         _ = (x + 1).sum()
     import os
     assert os.path.exists(tmp_path / "trace")
+
+
+def test_metrics_module():
+    from anyv2v_tpu.utils.metrics import (frechet_distance, psnr, ssim,
+                                          temporal_consistency, video_report)
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(2, 32, 32, 3).astype(np.float32)
+    assert psnr(a, a) == float("inf")
+    assert abs(ssim(a, a) - 1.0) < 1e-9
+    noisy = np.clip(a + rng.randn(*a.shape) * 0.05, 0, 1)
+    p = psnr(a, noisy)
+    assert 20 < p < 35
+    s = ssim(a, noisy)
+    assert 0.0 < s < 1.0
+    # a static video is perfectly temporally consistent
+    static = np.repeat(a[:1], 4, axis=0)
+    tc = temporal_consistency(static)
+    assert tc["psnr_t"] == float("inf") and abs(tc["ssim_t"] - 1.0) < 1e-9
+    rep = video_report(noisy, a)
+    assert set(rep) == {"psnr", "ssim", "psnr_t", "ssim_t"}
+    # identical Gaussians -> zero Frechet distance
+    mu = np.zeros(4); sig = np.eye(4)
+    assert abs(frechet_distance(mu, sig, mu, sig)) < 1e-8
