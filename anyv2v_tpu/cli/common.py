@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from ..utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()  # every CLI surface re-jits the same scan programs
+
 from ..models.clip import preprocess_clip_image
 from ..pipelines.i2vgen import I2VGenPipeline
 from ..utils import io as vio

@@ -4,15 +4,18 @@ Replaces ``F.scaled_dot_product_attention`` used throughout the reference
 (e.g. ``i2vgen-xl/pnp_utils.py:208-210``) and the manual / xformers paths in
 ``seine/models/attention.py:218-311``.
 
-Three backend selections behind one function:
+Backend selections behind one function:
 
-- ``auto`` (default): pallas flash kernel on TPU for the large-sequence
-  spatial attentions (the HBM-bound hot path — XLA materializes the
-  [B, H, Sq, Sk] score matrix, which at 4096^2 costs more bandwidth than the
-  matmuls); XLA elsewhere (short temporal sequences <= 128 frames pad to a
-  128-wide tile and lose more to padding than flash saves).
+- ``auto`` (default, on TPU): the packed block-diagonal short-seq kernel
+  (:mod:`anyv2v_tpu.ops.pallas_short_attention`) for self-attention at
+  seq <= 128 (temporal attention over frames — XLA materializes the fp32
+  [rows, H, S, S] scores through 5+ HBM round-trips there); the flash kernel
+  (:mod:`anyv2v_tpu.ops.pallas_attention`) for long sequences (spatial
+  attention, where the score matrix at 4096^2 costs more bandwidth than the
+  matmuls); XLA for everything else (cross-attention to text at seq 157,
+  masked/biased exotic paths).
 - ``xla``: ``jax.nn.dot_product_attention``.
-- ``pallas``: force the flash kernel in :mod:`anyv2v_tpu.ops.pallas_attention`.
+- ``pallas`` / ``pallas_short``: force a specific kernel.
 
 The process-wide default comes from ``ANYV2V_ATTN_BACKEND`` (auto/xla/pallas)
 so benches and drivers can A/B without threading a flag through every module.
@@ -37,19 +40,28 @@ def default_backend() -> str:
     return os.environ.get("ANYV2V_ATTN_BACKEND", "auto")
 
 
-def _resolve(backend: Optional[str], sq: int, head_dim: int,
-             mask: Optional[jax.Array]) -> str:
+def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
+             bias: Optional[jax.Array], mask: Optional[jax.Array]) -> str:
     if backend is None or backend == "auto":
         backend = default_backend()
     if backend != "auto":
         return backend
+    if jax.default_backend() != "tpu" or mask is not None:
+        return "xla"
     if (
-        jax.default_backend() == "tpu"
-        and mask is None
-        and sq >= _PALLAS_MIN_SQ
+        sq == sk
+        and sq <= 128
+        and bias is None
         and head_dim % 8 == 0
-        and head_dim <= 128   # wider heads (VAE mid attn d=512) fail mosaic
     ):
+        # short self-attention (temporal layers: seq = n_frames): the packed
+        # block-diagonal kernel — XLA materializes fp32 [rows, H, S, S]
+        # scores through 5+ HBM round-trips here (~78 ms of a 247 ms UNet
+        # forward at 16f 512^2, measured; PERF.md round 3)
+        return "pallas_short"
+    if sq >= _PALLAS_MIN_SQ and head_dim % 8 == 0 and head_dim <= 128:
+        # long sequences (spatial attention): flash kernel
+        # (wider heads, e.g. VAE mid attn d=512, fail mosaic)
         return "pallas"
     return "xla"
 
@@ -79,11 +91,18 @@ def multi_head_attention(
     Returns [B, Sq, heads*Dh] in the query dtype.
     """
     b, sq, d = query.shape
+    backend = _resolve(backend, sq, key.shape[1], d // heads, bias, mask)
+    if backend == "pallas_short":
+        from .pallas_short_attention import short_attention_bsc
+
+        # heads stay folded in the channel dim: the kernel slices them
+        # in-kernel, so the [B,S,H,D]->[B,H,S,D] copies never happen
+        return short_attention_bsc(query, key, value, heads=heads, scale=scale)
+
     q = _split_heads(query, heads)   # [B, Sq, H, Dh]
     k = _split_heads(key, heads)
     v = _split_heads(value, heads)
 
-    backend = _resolve(backend, sq, d // heads, mask)
     if backend == "pallas":
         from .pallas_attention import flash_attention_bshd
 

@@ -1,0 +1,188 @@
+"""Pallas TPU fused attention for SHORT sequences (temporal attention).
+
+The video UNets' temporal attentions run seq = n_frames (16-128) over a huge
+batch of (pixel, head) rows (SURVEY.md §2.9 item 2; reference op:
+``seine/models/attention.py:797``, diffusers ``TransformerTemporalModel``).
+XLA's unfused path materializes the fp32 ``[rows, heads, S, S]`` score tensor
+through 5+ HBM round-trips (QK dot, sub/exp fusion, reduce, div, PV dot,
+plus head-split copies) — measured ~78 ms of a 247 ms UNet forward at the
+headline 16-frame 512^2 config, ~25x its FLOP share.
+
+This kernel makes short-seq attention HBM-minimal: traffic = q, k, v, out,
+nothing else.
+
+Design (v5e measured):
+- **Sequence packing**: G = 128 // S_pad independent sequences are packed
+  into one 128-row MXU tile; scores are a single ``[tile, tile]`` matmul with
+  a precomputed block-diagonal additive mask (off-diagonal pairs and padded
+  key columns get -1e30). The (G-1)/G wasted MXU flops are free — the XLA
+  path is bandwidth-bound, not MXU-bound (PERF.md round-2 item 2 measured
+  the same packing LOSING at XLA level because the masked score tensor still
+  went through HBM; in-kernel it never leaves VMEM).
+- **No host-side transposes**: the packed layout ``[B*S', C]`` is a reshape
+  of the module's native ``[B, S, C]`` token layout (bitcast, no copy), and
+  heads are column slices handled by a static in-kernel loop — the
+  ``[B,S,H,D] -> [B,H,S,D]`` copies XLA inserts are gone entirely.
+- matmuls at input dtype (bf16) with fp32 accumulation; softmax fp32.
+
+Numerics note: scores use one global max subtraction per packed row (exact
+softmax, same as any flash kernel); padded key columns vanish via -1e30.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _masked_softmax_attn(q, k, v, mask, scale, out_dtype):
+    """One [tile, tile] attention: q,k,v [tile, W]; k pre-masked so that only
+    one head's feature columns are nonzero (the matmul contracts over the
+    full W, zeroed k columns kill the other head's q contribution)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + mask
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return jax.lax.dot_general(
+        (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
+                  head_dim: int, scale: float, tile: int):
+    """One program: [R, C] rows (R = rows_block, C = heads*head_dim), looping
+    R/tile row sub-tiles; each sub-tile's heads are solved in VMEM.
+
+    For head_dim 64 (every video UNet here), heads are processed in PAIRS on
+    one 128-lane window: the pair's k columns are zero-masked per head (VPU
+    select, lane-aligned — no lane rotations), both QK matmuls contract over
+    the full 128 lanes (full MXU depth; the zeroed k half cancels the other
+    head's q), and the two PV results merge with one lane select. All slices
+    land on 128-lane boundaries, which Mosaic handles without relayout."""
+    rows = q_ref.shape[0]
+    mask = mask_ref[...]  # [tile, tile] fp32 additive (block-diag + key pad)
+    pairwise = head_dim == 64 and heads > 1
+    for r0 in range(0, rows, tile):
+        if pairwise:
+            lane64 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1) < 64
+            for p_i in range(heads // 2):
+                c0 = p_i * 128
+                q = q_ref[r0:r0 + tile, c0:c0 + 128]
+                k = k_ref[r0:r0 + tile, c0:c0 + 128]
+                v = v_ref[r0:r0 + tile, c0:c0 + 128]
+                zero = jnp.zeros_like(k)
+                o_lo = _masked_softmax_attn(
+                    q, jnp.where(lane64, k, zero), v, mask, scale, o_ref.dtype)
+                o_hi = _masked_softmax_attn(
+                    q, jnp.where(lane64, zero, k), v, mask, scale, o_ref.dtype)
+                o_ref[r0:r0 + tile, c0:c0 + 128] = jnp.where(lane64, o_lo, o_hi)
+            tail = range(heads - 1, heads) if heads % 2 else range(0)
+        else:
+            tail = range(heads)
+        for h in tail:
+            c0 = h * head_dim  # 128-aligned for the pairwise tail (h even)
+            q = q_ref[r0:r0 + tile, c0:c0 + head_dim]
+            k = k_ref[r0:r0 + tile, c0:c0 + head_dim]
+            v = v_ref[r0:r0 + tile, c0:c0 + head_dim]
+            o_ref[r0:r0 + tile, c0:c0 + head_dim] = _masked_softmax_attn(
+                q, k, v, mask, scale, o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "head_dim", "scale", "tile", "rows_block",
+                     "interpret"),
+)
+def _short_packed(q, k, v, mask, *, heads, head_dim, scale, tile, rows_block,
+                  interpret):
+    """q,k,v: [N, C] packed rows (N divisible by rows_block; sequences are
+    contiguous row runs of S_pad, G = tile // S_pad of them per tile)."""
+    n, c = q.shape
+    grid = (n // rows_block,)
+    spec = pl.BlockSpec((rows_block, c), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(mask.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_short_kernel, heads=heads, head_dim=head_dim,
+                               scale=scale, tile=tile)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, c), q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec, mask_spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * tile * c,
+            bytes_accessed=3 * n * c * q.dtype.itemsize + 4 * n * c,
+            transcendentals=n * tile,
+        ),
+    )(q, k, v, mask)
+
+
+def _block_diag_mask(tile: int, s_pad: int, s_valid: int) -> np.ndarray:
+    """[tile, tile] additive fp32 mask: row r may attend key c iff they belong
+    to the same packed sequence and c is a valid (non-padded) position."""
+    r = np.arange(tile)
+    same_seq = (r[:, None] // s_pad) == (r[None, :] // s_pad)
+    valid_key = (r[None, :] % s_pad) < s_valid
+    return np.where(same_seq & valid_key, 0.0, -1e30).astype(np.float32)
+
+
+def short_attention_bsc(
+    q: jax.Array,    # [B, S, C]  (C = heads * head_dim)
+    k: jax.Array,    # [B, S, C]
+    v: jax.Array,    # [B, S, C]
+    heads: int,
+    scale: float | None = None,
+) -> jax.Array:
+    """Fused self-attention over a short sequence axis (S <= 128), batched
+    over B rows, heads packed in the channel dim. Returns [B, S, C]."""
+    b, s, c = q.shape
+    head_dim = c // heads
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(head_dim))
+
+    s_pad = _ceil_to(s, 8)
+    g = max(1, 128 // s_pad)          # sequences per MXU tile
+    tile = g * s_pad                  # 128 when s_pad divides 128
+
+    def pack(x):
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+        return x.reshape(b * s_pad, c)
+
+    qf, kf, vf = pack(q), pack(k), pack(v)
+
+    # rows per program: a few tiles to amortize grid overhead, bounded so the
+    # 4 double-buffered [rows_block, C] bf16 tiles stay well inside VMEM
+    rows_block = tile
+    while (rows_block * 2 <= 1024
+           and rows_block * 2 * c <= 512 * 1024
+           and (b * s_pad) % (rows_block * 2) == 0):
+        rows_block *= 2
+    n_pad = _ceil_to(b * s_pad, rows_block)
+    if n_pad != b * s_pad:
+        qf = jnp.pad(qf, ((0, n_pad - b * s_pad), (0, 0)))
+        kf = jnp.pad(kf, ((0, n_pad - b * s_pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, n_pad - b * s_pad), (0, 0)))
+
+    mask = jnp.asarray(_block_diag_mask(tile, s_pad, s))
+    interpret = jax.default_backend() != "tpu"
+    out = _short_packed(qf, kf, vf, mask, heads=heads, head_dim=head_dim,
+                        scale=float(scale), tile=tile, rows_block=rows_block,
+                        interpret=interpret)
+    out = out[: b * s_pad].reshape(b, s_pad, c)
+    return out[:, :s]

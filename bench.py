@@ -39,6 +39,10 @@ def _log(msg: str) -> None:
 
 
 def main() -> None:
+    from anyv2v_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

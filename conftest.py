@@ -23,3 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls in tests must be exact-ish; TPU-style bf16 3-pass is fine for
 # models but breaks golden comparisons.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compile cache: the suite re-compiles the same jitted scans every
+# run, and this host's single CPU core makes that the dominant cost
+from anyv2v_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+_enable_compile_cache()

@@ -1,0 +1,82 @@
+"""Equivalence tests for the packed short-sequence attention kernel
+(anyv2v_tpu/ops/pallas_short_attention.py) vs jax.nn.dot_product_attention.
+
+Runs in interpret mode on the CPU mesh (conftest pins jax to cpu); the same
+code path compiles to Mosaic on TPU (validated by the model-level
+pallas-backend equivalence test and bench A/Bs recorded in PERF.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anyv2v_tpu.ops.attention import multi_head_attention
+from anyv2v_tpu.ops.pallas_short_attention import short_attention_bsc
+
+
+def _ref(q, k, v, heads, scale=None):
+    b, s, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, s, heads, d)
+    kh = k.reshape(b, s, heads, d)
+    vh = v.reshape(b, s, heads, d)
+    out = jax.nn.dot_product_attention(qh, kh, vh, scale=scale,
+                                       implementation="xla")
+    return out.reshape(b, s, c)
+
+
+@pytest.mark.parametrize(
+    "b,s,heads,d",
+    [
+        (12, 16, 8, 64),   # i2vgen temporal: 16 frames, tile packs G=8
+        (7, 17, 5, 64),    # ConsistI2V F+1=17 (padded seq), odd head count
+        (3, 128, 4, 32),   # long-video 128 frames: G=1
+        (2, 9, 2, 8),      # tiny arch shapes
+        (130, 16, 2, 16),  # rows not a multiple of the block: row padding
+    ],
+)
+def test_matches_xla(b, s, heads, d):
+    rng = np.random.RandomState(0)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=heads)
+    ref = _ref(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_custom_scale():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(4, 16, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(4, 16, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(4, 16, 64), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=4, scale=0.3)
+    ref = _ref(q, k, v, heads=4, scale=0.3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
+
+
+def test_bf16_inputs_stay_bf16():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(4, 16, 64), jnp.bfloat16)
+    out = short_attention_bsc(q, q, q, heads=4)
+    assert out.dtype == jnp.bfloat16
+    ref = _ref(q.astype(jnp.float32), q.astype(jnp.float32),
+               q.astype(jnp.float32), heads=4)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_explicit_backend_through_dispatcher():
+    """backend='pallas_short' forces the kernel through the public API."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(6, 16, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(6, 16, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(6, 16, 32), jnp.float32)
+    out = multi_head_attention(q, k, v, heads=2, backend="pallas_short")
+    ref = _ref(q, k, v, heads=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
