@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, temporal_attention
 from ..ops.pnp import inject_source_rows
 
 # ---------------------------------------------------------------------------
@@ -170,6 +170,7 @@ class Attention(nn.Module):
         bias: Optional[jax.Array] = None,
         ip_tokens: Optional[jax.Array] = None,   # [B, N_ip, D_ctx]
         ip_scale: float = 1.0,
+        frame_axis: bool = False,   # x is [B, S, HW, C]; attend over S (axis 1)
     ) -> jax.Array:
         inner = self.heads * self.head_dim
         out_dim = self.out_dim or x.shape[-1]
@@ -187,6 +188,12 @@ class Attention(nn.Module):
         if qk_transform is not None:
             q = qk_transform(q, True)
             k = qk_transform(k, False)
+
+        if frame_axis:
+            # temporal tokens in their module-native 4D layout (no transpose)
+            assert bias is None and context is None and not self.ip
+            out = temporal_attention(q, k, v, heads=self.heads)
+            return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
         out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
 
@@ -249,12 +256,14 @@ class BasicTransformerBlock(nn.Module):
         bias: Optional[jax.Array] = None,
         ip_tokens: Optional[jax.Array] = None,
         ip_scale: float = 1.0,
+        frame_axis: bool = False,
     ) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
             self.heads, self.head_dim, dtype=self.dtype, pnp_chunks=self.pnp_chunks,
             name="attn1",
-        )(h, inject=inject, qk_transform=qk_transform, bias=bias)
+        )(h, inject=inject, qk_transform=qk_transform, bias=bias,
+          frame_axis=frame_axis)
 
         if not self.only_self_attention:
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
@@ -265,7 +274,8 @@ class BasicTransformerBlock(nn.Module):
                 dtype=self.dtype,
                 ip=self.ip,
                 name="attn2",
-            )(h, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale)
+            )(h, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale,
+              frame_axis=frame_axis)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
@@ -319,7 +329,14 @@ class SpatialTransformer(nn.Module):
 class TemporalTransformer(nn.Module):
     """diffusers TransformerTemporalModel over [B, F, H, W, C]: tokens are
     frames per (batch, pixel); groupnorm -> linear proj_in -> blocks ->
-    linear proj_out -> residual."""
+    linear proj_out -> residual.
+
+    Layout: the plain path (context/rotary/bias) transposes tokens to
+    [(B H W), F, C]. The common path (self-attention only — every i2vgen
+    call site) keeps the module-native [B, F, HW, C] layout end to end:
+    norms/denses are per-token either way, and the strided pallas kernel
+    attends over the frame axis in place, deleting two full-tensor
+    transposes per module (~13% of a UNet step, measured round 3)."""
 
     heads: int
     head_dim: int
@@ -344,8 +361,13 @@ class TemporalTransformer(nn.Module):
         h = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(
             x.reshape(b * f, h_, w_, c)
         ).astype(self.dtype)
-        # [(B F), H, W, C] -> [(B H W), F, C]
-        h = h.reshape(b, f, h_ * w_, c).transpose(0, 2, 1, 3).reshape(b * h_ * w_, f, c)
+        frame_axis = context is None and qk_transform is None and bias is None
+        if frame_axis:
+            h = h.reshape(b, f, h_ * w_, c)                 # free reshape
+        else:
+            # [(B F), H, W, C] -> [(B H W), F, C]
+            h = h.reshape(b, f, h_ * w_, c).transpose(0, 2, 1, 3).reshape(
+                b * h_ * w_, f, c)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(
@@ -355,9 +377,14 @@ class TemporalTransformer(nn.Module):
                 dtype=self.dtype,
                 pnp_chunks=self.pnp_chunks,
                 name=f"blocks_{i}",
-            )(h, context=context, inject=inject, qk_transform=qk_transform, bias=bias)
+            )(h, context=context, inject=inject, qk_transform=qk_transform,
+              bias=bias, frame_axis=frame_axis)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
-        h = h.reshape(b, h_ * w_, f, c).transpose(0, 2, 1, 3).reshape(b, f, h_, w_, c)
+        if frame_axis:
+            h = h.reshape(b, f, h_, w_, c)
+        else:
+            h = h.reshape(b, h_ * w_, f, c).transpose(0, 2, 1, 3).reshape(
+                b, f, h_, w_, c)
         return h + residual
 
 

@@ -113,3 +113,36 @@ def multi_head_attention(
         q, k, v, bias=bias, mask=mask, scale=scale, implementation="xla"
     )
     return out.reshape(b, sq, d)
+
+
+def temporal_attention(
+    query: jax.Array,   # [B, S, HW, heads*Dh] — module-native temporal layout
+    key: jax.Array,
+    value: jax.Array,
+    heads: int,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """Self-attention over the frame axis S of 4D temporal tokens WITHOUT the
+    [B,S,HW,C] <-> [B,HW,S,C] transposes the 3D path needs: on TPU the
+    strided kernel (:func:`..ops.pallas_short_attention.short_attention_frames`)
+    reads the native layout directly; elsewhere (CPU mesh/tests) the
+    transpose + XLA path keeps the same math."""
+    b, s, hw, c = query.shape
+    head_dim = c // heads
+    if backend is None or backend == "auto":
+        backend = default_backend()
+    if backend in ("auto", "pallas", "pallas_short") and (
+        jax.default_backend() == "tpu" and head_dim % 8 == 0
+    ):
+        from .pallas_short_attention import short_attention_frames
+
+        return short_attention_frames(query, key, value, heads=heads,
+                                      scale=scale)
+
+    def t(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * hw, s, heads, head_dim)
+
+    out = jax.nn.dot_product_attention(t(query), t(key), t(value),
+                                       scale=scale, implementation="xla")
+    return out.reshape(b, hw, s, c).transpose(0, 2, 1, 3)

@@ -141,6 +141,125 @@ def _block_diag_mask(tile: int, s_pad: int, s_valid: int) -> np.ndarray:
     return np.where(same_seq & valid_key, 0.0, -1e30).astype(np.float32)
 
 
+def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
+                    head_dim: int, scale: float):
+    """Strided (no-transpose) variant: refs are [1, S_pad, W, C] blocks of the
+    module-native [B, F, HW, C] token layout; rows of the flattened
+    [S_pad*W, C] tile are ordered (frame, pixel), and the mask admits only
+    same-pixel pairs — the frame axis never has to be transposed next to the
+    feature axis, so the [B,F,HW,C] <-> [B,HW,F,C] copies disappear."""
+    s_pad, w, c = q_ref.shape[1:]
+    tile = s_pad * w
+    q = q_ref[0].reshape(tile, c)
+    k = k_ref[0].reshape(tile, c)
+    v = v_ref[0].reshape(tile, c)
+    mask = mask_ref[...]
+    pairwise = head_dim == 64 and heads > 1
+    if pairwise:
+        lane64 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1) < 64
+        for p_i in range(heads // 2):
+            c0 = p_i * 128
+            qw, kw, vw = q[:, c0:c0 + 128], k[:, c0:c0 + 128], v[:, c0:c0 + 128]
+            zero = jnp.zeros_like(kw)
+            o_lo = _masked_softmax_attn(qw, jnp.where(lane64, kw, zero), vw,
+                                        mask, scale, o_ref.dtype)
+            o_hi = _masked_softmax_attn(qw, jnp.where(lane64, zero, kw), vw,
+                                        mask, scale, o_ref.dtype)
+            o_ref[0, :, :, c0:c0 + 128] = jnp.where(lane64, o_lo, o_hi).reshape(
+                s_pad, w, 128)
+        tail = range(heads - 1, heads) if heads % 2 else range(0)
+    else:
+        tail = range(heads)
+    for h in tail:
+        c0 = h * head_dim
+        o_ref[0, :, :, c0:c0 + head_dim] = _masked_softmax_attn(
+            q[:, c0:c0 + head_dim], k[:, c0:c0 + head_dim],
+            v[:, c0:c0 + head_dim], mask, scale, o_ref.dtype,
+        ).reshape(s_pad, w, head_dim)
+
+
+def _strided_mask(s_pad: int, w: int, s_valid: int) -> np.ndarray:
+    """[s_pad*w, s_pad*w] additive mask for (frame, pixel)-ordered rows:
+    row r = f*w + p attends key c iff same pixel (c % w == r % w) and the
+    key's frame (c // w) is a valid (non-padded) position."""
+    tile = s_pad * w
+    r = np.arange(tile)
+    same_px = (r[:, None] % w) == (r[None, :] % w)
+    valid_f = (r[None, :] // w) < s_valid
+    return np.where(same_px & valid_f, 0.0, -1e30).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "head_dim", "scale", "w", "interpret"))
+def _strided_call(q, k, v, mask, *, heads, head_dim, scale, w, interpret):
+    b, s_pad, hw, c = q.shape
+    grid = (b, hw // w)
+    spec = pl.BlockSpec((1, s_pad, w, c), lambda i, j: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(mask.shape, lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+    kernel = functools.partial(_strided_kernel, heads=heads,
+                               head_dim=head_dim, scale=scale)
+    n = b * s_pad * hw
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hw, c), q.dtype),
+        grid=grid,
+        in_specs=[spec, spec, spec, mask_spec],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * s_pad * w * c,
+            bytes_accessed=3 * n * c * q.dtype.itemsize + 4 * n * c,
+            transcendentals=n * s_pad * w,
+        ),
+    )(q, k, v, mask)
+
+
+# strided variant pays an 8x score/exp inflation factor S_pad*8 vs 128-packed
+# tiles; identical at S_pad=16, cheap to 32, transpose+pack wins beyond
+_STRIDED_MAX_SPAD = 32
+
+
+def short_attention_frames(
+    q: jax.Array,    # [B, S, HW, C]  (module-native temporal token layout)
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float | None = None,
+) -> jax.Array:
+    """Fused attention over the frame axis S of [B, S, HW, C] tokens without
+    any layout transposes (S <= 32; larger S falls back to the packed kernel
+    on a transposed view). Returns [B, S, HW, C]."""
+    b, s, hw, c = q.shape
+    head_dim = c // heads
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(head_dim))
+
+    s_pad = _ceil_to(s, 8)
+    if s_pad > _STRIDED_MAX_SPAD:
+        out = short_attention_bsc(
+            q.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
+            k.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
+            v.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
+            heads=heads, scale=scale)
+        return out.reshape(b, hw, s, c).transpose(0, 2, 1, 3)
+
+    w = max(8, 128 // s_pad)
+
+    def pad(x):
+        if s_pad != s:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+        return x
+
+    mask = jnp.asarray(_strided_mask(s_pad, w, s))
+    interpret = jax.default_backend() != "tpu"
+    out = _strided_call(pad(q), pad(k), pad(v), mask, heads=heads,
+                        head_dim=head_dim, scale=float(scale), w=w,
+                        interpret=interpret)
+    return out[:, :s]
+
+
 def short_attention_bsc(
     q: jax.Array,    # [B, S, C]  (C = heads * head_dim)
     k: jax.Array,    # [B, S, C]

@@ -70,6 +70,32 @@ def test_bf16_inputs_stay_bf16():
                                atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize(
+    "b,s,hw,heads,d",
+    [
+        (3, 16, 64, 8, 64),    # headline: strided no-transpose path
+        (1, 17, 32, 5, 64),    # padded frames, odd heads
+        (2, 8, 16, 2, 16),     # tiny arch
+        (1, 64, 16, 4, 64),    # s_pad > 32: falls back to the packed kernel
+    ],
+)
+def test_frames_variant_matches_xla(b, s, hw, heads, d):
+    from anyv2v_tpu.ops.pallas_short_attention import short_attention_frames
+
+    rng = np.random.RandomState(4)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    out = short_attention_frames(q, k, v, heads=heads)
+    # reference: transpose to [b*hw, s, c] rows and reuse the XLA oracle
+    def t(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * hw, s, c)
+    ref = _ref(t(q), t(k), t(v), heads).reshape(b, hw, s, c).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_explicit_backend_through_dispatcher():
     """backend='pallas_short' forces the kernel through the public API."""
     rng = np.random.RandomState(3)
