@@ -208,8 +208,29 @@ class Attention(nn.Module):
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter shell with nn.Dense's exact tree ({kernel, bias}), init
+    distributions and shapes — lets the owner compute with the raw arrays
+    (fused kernels) while converted checkpoints keep loading unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (diffusers default for these UNets)."""
+    """GEGLU feed-forward (diffusers default for these UNets).
+
+    On TPU, shapes with many rows run as one fused Pallas kernel
+    (:mod:`anyv2v_tpu.ops.pallas_ffn`) that keeps the [N, 2*4C] gate
+    intermediate in VMEM instead of round-tripping it through HBM (the
+    dominant non-conv HBM traffic of a UNet step — PERF.md round 4)."""
 
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
@@ -217,19 +238,34 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_ffn import ffn_is_fused, fused_ffn
+
         dim = x.shape[-1]
         inner = dim * self.mult
-        # exact (erf) gelu: torch F.gelu default, NOT flax's tanh approximation
+        p = inner * 2 if self.activation == "geglu" else inner
+        if self.activation not in ("geglu", "gelu"):
+            raise ValueError(self.activation)
+        w1, b1 = _DenseParams(p, name="proj_in")(dim)
+        w2, b2 = _DenseParams(dim, name="proj_out")(inner)
+
+        n_rows = int(np.prod(x.shape[:-1]))
+        if ffn_is_fused(n_rows, dim, self.mult):
+            return fused_ffn(
+                x.astype(self.dtype), w1.astype(self.dtype),
+                b1.astype(self.dtype), w2.astype(self.dtype),
+                b2.astype(self.dtype), activation=self.activation,
+            )
+
+        # unfused path (CPU mesh, narrow shapes): same math as nn.Dense
+        # chains — exact (erf) gelu, NOT flax's tanh approximation
+        x, w1, b1, w2, b2 = (a.astype(self.dtype) for a in (x, w1, b1, w2, b2))
+        h = x @ w1 + b1
         if self.activation == "geglu":
-            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)
             h = h * nn.gelu(gate, approximate=False)
-        elif self.activation == "gelu":
-            h = nn.gelu(nn.Dense(inner, dtype=self.dtype, name="proj_in")(x),
-                        approximate=False)
         else:
-            raise ValueError(self.activation)
-        return nn.Dense(dim, dtype=self.dtype, name="proj_out")(h)
+            h = nn.gelu(h, approximate=False)
+        return h @ w2 + b2
 
 
 class BasicTransformerBlock(nn.Module):

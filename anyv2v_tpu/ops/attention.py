@@ -41,7 +41,8 @@ def default_backend() -> str:
 
 
 def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
-             bias: Optional[jax.Array], mask: Optional[jax.Array]) -> str:
+             bias: Optional[jax.Array], mask: Optional[jax.Array],
+             batch: int = 1) -> str:
     if backend is None or backend == "auto":
         backend = default_backend()
     if backend != "auto":
@@ -59,6 +60,16 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
         # scores through 5+ HBM round-trips here (~78 ms of a 247 ms UNet
         # forward at 16f 512^2, measured; PERF.md round 3)
         return "pallas_short"
+    if bias is None and sq != sk and sk <= 512:
+        from .pallas_cross_attention import cross_kv_is_supported
+
+        if cross_kv_is_supported(sq, sk, head_dim) and batch * sq >= 32768:
+            # cross-attention to short text/image context: whole-K/V-in-VMEM
+            # kernel — the general flash grid degenerates to tiny programs
+            # here (measured 1.3-1.7x vs flash across the UNets' shapes)
+            return "pallas_cross"
+        # below the row threshold XLA beats both kernels on short-KV shapes
+        return "xla"
     if sq >= _PALLAS_MIN_SQ and head_dim % 8 == 0 and head_dim <= 128:
         # long sequences (spatial attention): flash kernel
         # (wider heads, e.g. VAE mid attn d=512, fail mosaic)
@@ -91,13 +102,19 @@ def multi_head_attention(
     Returns [B, Sq, heads*Dh] in the query dtype.
     """
     b, sq, d = query.shape
-    backend = _resolve(backend, sq, key.shape[1], d // heads, bias, mask)
+    backend = _resolve(backend, sq, key.shape[1], d // heads, bias, mask,
+                       batch=b)
     if backend == "pallas_short":
         from .pallas_short_attention import short_attention_bsc
 
         # heads stay folded in the channel dim: the kernel slices them
         # in-kernel, so the [B,S,H,D]->[B,H,S,D] copies never happen
         return short_attention_bsc(query, key, value, heads=heads, scale=scale)
+    if backend == "pallas_cross":
+        from .pallas_cross_attention import cross_attention_short_kv
+
+        return cross_attention_short_kv(query, key, value, heads=heads,
+                                        scale=scale)
 
     q = _split_heads(query, heads)   # [B, Sq, H, Dh]
     k = _split_heads(key, heads)
