@@ -112,10 +112,41 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+class _GroupNormParams(nn.Module):
+    """Parameter shell with nn.GroupNorm's exact tree ({scale, bias})."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (features,), jnp.float32)
+        return scale, bias
+
+
+class _TemporalConv3Params(nn.Module):
+    """Parameter shell with nn.Conv's exact (3,1,1)-kernel tree."""
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", self.kernel_init,
+                       (3, 1, 1, in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class TemporalConvLayer(nn.Module):
     """diffusers ``TemporalConvLayer``: four (groupnorm -> silu -> conv3d
     (3,1,1)) blocks with an identity residual; the last conv is zero-init so
-    the layer starts as identity. Operates on [B, F, H, W, C]."""
+    the layer starts as identity. Operates on [B, F, H, W, C].
+
+    Each block runs as one fused groupnorm+silu+temporal-conv pass
+    (:mod:`anyv2v_tpu.ops.pallas_temporal_conv`) — param tree identical to
+    the nn.GroupNorm/nn.Conv modules it replaces."""
 
     channels: int
     groups: int = 32
@@ -123,19 +154,20 @@ class TemporalConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.pallas_temporal_conv import groupnorm_silu_temporal_conv3
+
         identity = x
         h = x
         for i in range(4):
-            h = nn.GroupNorm(self.groups, epsilon=1e-5, dtype=jnp.float32, name=f"norm{i+1}")(h)
-            h = nn.silu(h).astype(self.dtype)
-            h = nn.Conv(
+            gamma, beta = _GroupNormParams(name=f"norm{i+1}")(h.shape[-1])
+            kernel, bias = _TemporalConv3Params(
                 self.channels,
-                (3, 1, 1),
-                padding=((1, 1), (0, 0), (0, 0)),
-                dtype=self.dtype,
-                kernel_init=nn.initializers.zeros if i == 3 else nn.initializers.lecun_normal(),
+                kernel_init=(nn.initializers.zeros if i == 3
+                             else nn.initializers.lecun_normal()),
                 name=f"conv{i+1}",
-            )(h)
+            )(h.shape[-1])
+            h = groupnorm_silu_temporal_conv3(
+                h, gamma, beta, kernel, bias, self.groups, 1e-5, self.dtype)
         return identity + h
 
 

@@ -103,14 +103,17 @@ class AlphaTemporalResnet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-                    dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
-                    dtype=self.dtype, name="conv2")(h)
+        from ..ops.pallas_temporal_conv import groupnorm_silu_temporal_conv3
+        from .layers import _GroupNormParams, _TemporalConv3Params
+
+        h = x
+        for i in (1, 2):
+            gamma, beta = _GroupNormParams(name=f"norm{i}")(h.shape[-1])
+            kernel, bias = _TemporalConv3Params(
+                self.channels, name=f"conv{i}")(h.shape[-1])
+            h = groupnorm_silu_temporal_conv3(
+                h, gamma, beta, kernel, bias, self.groups, self.eps,
+                self.dtype)
         out = x + h
         alpha = jnp.clip(self.param("alpha", nn.initializers.ones, (1,)), 0.0, 1.0)
         return (alpha * x + (1.0 - alpha) * out).astype(x.dtype)
