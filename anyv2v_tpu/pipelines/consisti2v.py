@@ -199,6 +199,55 @@ class ConsistI2VPipeline(LatentCodecMixin):
 
         return fn
 
+    @cached_property
+    def _sample_pnp_tail(self):
+        """Post-injection tail of the PnP scan: identical row composition and
+        CFG combine as :attr:`_sample_pnp` minus the source branch (whose eps
+        the combine discards), so the batch drops by one row."""
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("mode",))
+        def fn(params, init_latent, cache_ff, text_all, ff_edit,
+               frame_stride, step_data, cfg_txt, cfg_img, rescale, *, mode):
+            n_chunks = {None: 1, "text": 2, "both": 3}[mode]
+            unet = self._unet_for_chunks(max(n_chunks, 2))
+
+            def body(x, step):
+                t, t_prev = step
+                if mode is None:
+                    inp, ffl = x, ff_edit
+                elif mode == "text":
+                    inp = jnp.concatenate([x, x], axis=0)
+                    ffl = jnp.concatenate([ff_edit, ff_edit], axis=0)
+                else:
+                    inp = jnp.concatenate([x, x, x], axis=0)
+                    ffl = jnp.concatenate([cache_ff, ff_edit, ff_edit], axis=0)
+                eps_all = unet.apply(
+                    params["unet"],
+                    sample=inp,
+                    timestep=t,
+                    encoder_hidden_states=text_all,
+                    first_frame_latents=ffl,
+                    frame_stride=frame_stride,
+                ).astype(jnp.float32)
+                if mode is None:
+                    eps = eps_all
+                elif mode == "text":
+                    e_u, e_t = jnp.split(eps_all, 2, axis=0)
+                    eps = e_u + cfg_txt * (e_t - e_u)
+                    eps = jnp.where(rescale > 0.0,
+                                    rescale_noise_cfg(eps, e_t, rescale), eps)
+                else:
+                    e_u, e_i, e_b = jnp.split(eps_all, 3, axis=0)
+                    eps = e_u + cfg_img * (e_i - e_u) + cfg_txt * (e_b - e_i)
+                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
+            return out
+
+        return fn
+
     def sample_with_pnp(
         self,
         traj: jax.Array,            # [n, 1, F, h, w, 4] rows incl. clean frame 0
@@ -214,9 +263,14 @@ class ConsistI2VPipeline(LatentCodecMixin):
         pnp: Optional[PnPConfig] = None,
         frame_stride: int = 3,
         init_latent: Optional[jax.Array] = None,
+        split_scan: bool = True,
     ) -> jax.Array:
         """Returns edited latents [1, F, h, w, 4] with frame 0 = edited image
-        latent (copied, not generated — reference ``:1569``)."""
+        latent (copied, not generated — reference ``:1569``).
+
+        ``split_scan``: run the steps after every injection schedule expires
+        as a source-row-free scan (the CFG combine discards the source eps) —
+        identical math, one less UNet row for the tail steps."""
         pnp = pnp or PnPConfig(0.2, 0.2, 0.5)
         mode = guidance_mode(cfg_txt, cfg_img)
         ts = sampling_timesteps(self.schedule, num_inference_steps)
@@ -237,19 +291,40 @@ class ConsistI2VPipeline(LatentCodecMixin):
         if init_latent is None:
             init_latent = init_row[:, 1:]
 
-        step_data = (
-            jnp.asarray(ts_run, jnp.int32),
-            jnp.asarray(ts_run - step_ratio, jnp.int32),
-            jnp.asarray(cache_idx, jnp.int32),
-            jnp.asarray(m_conv), jnp.asarray(m_sp), jnp.asarray(m_tmp),
-        )
-        out = self._sample_pnp(
-            self.params, init_latent, cache_ff, traj, text_embeds_all,
-            src_ff_latent.astype(jnp.float32), edited_ff_latent.astype(jnp.float32),
-            jnp.int32(frame_stride), step_data,
-            jnp.float32(cfg_txt), jnp.float32(cfg_img), jnp.float32(guidance_rescale),
-            mode=mode,
-        )
+        m_any = m_conv | m_sp | m_tmp
+        n_run = len(ts_run)
+        k_inj = int(np.max(np.nonzero(m_any)[0])) + 1 if m_any.any() else 0
+        if not split_scan:
+            k_inj = n_run
+
+        out = init_latent
+        if k_inj > 0:
+            step_data = (
+                jnp.asarray(ts_run[:k_inj], jnp.int32),
+                jnp.asarray(ts_run[:k_inj] - step_ratio, jnp.int32),
+                jnp.asarray(cache_idx[:k_inj], jnp.int32),
+                jnp.asarray(m_conv[:k_inj]), jnp.asarray(m_sp[:k_inj]),
+                jnp.asarray(m_tmp[:k_inj]),
+            )
+            out = self._sample_pnp(
+                self.params, out, cache_ff, traj, text_embeds_all,
+                src_ff_latent.astype(jnp.float32), edited_ff_latent.astype(jnp.float32),
+                jnp.int32(frame_stride), step_data,
+                jnp.float32(cfg_txt), jnp.float32(cfg_img), jnp.float32(guidance_rescale),
+                mode=mode,
+            )
+        if k_inj < n_run:
+            step_data2 = (
+                jnp.asarray(ts_run[k_inj:], jnp.int32),
+                jnp.asarray(ts_run[k_inj:] - step_ratio, jnp.int32),
+            )
+            out = self._sample_pnp_tail(
+                self.params, out, cache_ff, text_embeds_all[1:],
+                edited_ff_latent.astype(jnp.float32),
+                jnp.int32(frame_stride), step_data2,
+                jnp.float32(cfg_txt), jnp.float32(cfg_img),
+                jnp.float32(guidance_rescale), mode=mode,
+            )
         return jnp.concatenate([edited_ff_latent.astype(out.dtype), out], axis=1)
 
     # -- plain generation (reference __call__, :469-700) --------------------

@@ -276,6 +276,7 @@ class I2VGenPipeline(LatentCodecMixin):
         pnp: Optional[PnPConfig] = None,
         fps: int = 8,
         init_latent: Optional[jax.Array] = None,
+        split_scan: bool = True,
     ) -> jax.Array:
         """PnP editing loop (reference ``sample_with_pnp``,
         ``pipeline_i2vgen_xl.py:890``; driver ``run_group_pnp_edit.py:59``).
@@ -284,6 +285,15 @@ class I2VGenPipeline(LatentCodecMixin):
         explicit ``init_latent``, e.g. blended with noise by ``random_ratio``),
         runs the truncated grid ``timesteps[t_idx:]``, injecting source
         conv/attention features per the PnP threshold schedules.
+
+        ``split_scan`` (default): once every injection schedule has expired
+        (step >= max threshold, known statically), the source branch's output
+        is discarded by the CFG combine — so the remaining steps run a
+        batch-2 scan without it. Mathematically identical to the monolithic
+        batch-3 scan (asserted by tests); at default thresholds (temporal
+        0.5) this removes a third of the UNet work from half the edit steps.
+        The reference keeps the dead source row in the batch for all 50
+        steps (``pipeline_i2vgen_xl.py:1130-1179``).
         """
         pnp = pnp or PnPConfig()
         ts = sampling_timesteps(self.schedule, num_inference_steps)
@@ -311,22 +321,46 @@ class I2VGenPipeline(LatentCodecMixin):
         if init_latent is None:
             init_latent = traj[cache_idx[0]]
 
-        step_data = (
-            jnp.asarray(ts_run, jnp.int32),
-            jnp.asarray(ts_prev, jnp.int32),
-            jnp.asarray(cache_idx, jnp.int32),
-            jnp.asarray(m_conv),
-            jnp.asarray(m_sp),
-            jnp.asarray(m_tmp),
-        )
-        fps3 = jnp.full((3,), fps, jnp.int32)
-        return self._sample_pnp(
-            self.params, self._put_video(init_latent), traj,
-            self._put_replicated(text_embeds_all),
-            self._put_video(image_latents_all),
-            self._put_replicated(image_embeds_all),
-            fps3, step_data, jnp.float32(guidance_scale),
-        )
+        m_any = m_conv | m_sp | m_tmp
+        n_run = len(ts_run)
+        k_inj = int(np.max(np.nonzero(m_any)[0])) + 1 if m_any.any() else 0
+        if not split_scan:
+            k_inj = n_run
+
+        x = self._put_video(init_latent)
+        if k_inj > 0:
+            step_data = (
+                jnp.asarray(ts_run[:k_inj], jnp.int32),
+                jnp.asarray(ts_prev[:k_inj], jnp.int32),
+                jnp.asarray(cache_idx[:k_inj], jnp.int32),
+                jnp.asarray(m_conv[:k_inj]),
+                jnp.asarray(m_sp[:k_inj]),
+                jnp.asarray(m_tmp[:k_inj]),
+            )
+            fps3 = jnp.full((3,), fps, jnp.int32)
+            x = self._sample_pnp(
+                self.params, x, traj,
+                self._put_replicated(text_embeds_all),
+                self._put_video(image_latents_all),
+                self._put_replicated(image_embeds_all),
+                fps3, step_data, jnp.float32(guidance_scale),
+            )
+        if k_inj < n_run:
+            # injection over: the source row's eps is discarded by the CFG
+            # combine, so the remaining steps drop it from the batch
+            step_data2 = (
+                jnp.asarray(ts_run[k_inj:], jnp.int32),
+                jnp.asarray(ts_prev[k_inj:], jnp.int32),
+            )
+            x = self._sample_plain(
+                self.params, x,
+                self._put_replicated(text_embeds_all[1:]),
+                self._put_video(image_latents_all[1:]),
+                self._put_replicated(image_embeds_all[1:]),
+                jnp.full((2,), fps, jnp.int32), step_data2,
+                jnp.float32(guidance_scale), do_cfg=True,
+            )
+        return x
 
     @cached_property
     def _sample_plain(self):

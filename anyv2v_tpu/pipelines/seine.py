@@ -183,6 +183,35 @@ class SeinePipeline(LatentCodecMixin):
 
         return fn
 
+    @cached_property
+    def _sample_pnp_tail(self):
+        """Post-injection tail: same rows/CFG as :attr:`_sample_pnp` minus the
+        source branch (its eps is discarded by the combine)."""
+        @partial(jax.jit, static_argnames=("sampler", "do_cfg"))
+        def fn(params, init_latent, text_all, mask, masked_edit,
+               step_data, cfg, noises, *, sampler, do_cfg):
+            def body(x, step):
+                t, t_prev, noise = step
+                x_in = self._nine_channel(x, mask, masked_edit)
+                inp = jnp.concatenate([x_in, x_in], axis=0)
+                eps2 = self.unet.apply(
+                    params["unet"], sample=inp, timestep=t,
+                    encoder_hidden_states=text_all,
+                ).astype(jnp.float32)
+                e_cond, e_uncond = jnp.split(eps2, 2, axis=0)
+                eps = e_uncond + cfg * (e_cond - e_uncond) if do_cfg else e_cond
+                if sampler == "ddpm":
+                    x = ddpm_step(self.schedule, x, eps, t, t_prev, noise)
+                else:
+                    x = ddim_step(self.schedule, x, eps, t, t_prev)
+                return x, None
+
+            out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32),
+                                  (*step_data, noises))
+            return out
+
+        return fn
+
     def sample_with_pnp(
         self,
         traj: jax.Array,
@@ -197,6 +226,7 @@ class SeinePipeline(LatentCodecMixin):
         pnp: Optional[SeinePnPConfig] = None,
         key: Optional[jax.Array] = None,
         init_latent: Optional[jax.Array] = None,
+        split_scan: bool = True,
     ) -> jax.Array:
         pnp = pnp or SeinePnPConfig()
         if sampler == "ddpm":
@@ -226,19 +256,39 @@ class SeinePipeline(LatentCodecMixin):
         noises = jax.random.normal(
             key, (len(ts),) + tuple(init_latent.shape), jnp.float32)
 
-        step_data = (
-            jnp.asarray(ts, jnp.int32), jnp.asarray(ts_prev, jnp.int32),
-            jnp.asarray(cache_idx, jnp.int32),
-            jnp.asarray(m_conv), jnp.asarray(m_sp), jnp.asarray(m_tmp),
-            jnp.asarray(m_x),
-        )
-        return self._sample_pnp(
-            self.params, init_latent, traj, text_embeds_all, mask,
-            masked_edit_latent.astype(jnp.float32),
-            masked_src_latent.astype(jnp.float32),
-            step_data, jnp.float32(cfg_scale), noises,
-            sampler=sampler, do_cfg=cfg_scale > 1.0,
-        )
+        m_any = m_conv | m_sp | m_tmp | m_x
+        n_run = len(ts)
+        k_inj = int(np.max(np.nonzero(m_any)[0])) + 1 if m_any.any() else 0
+        if not split_scan:
+            k_inj = n_run
+
+        x = init_latent
+        if k_inj > 0:
+            step_data = (
+                jnp.asarray(ts[:k_inj], jnp.int32),
+                jnp.asarray(ts_prev[:k_inj], jnp.int32),
+                jnp.asarray(cache_idx[:k_inj], jnp.int32),
+                jnp.asarray(m_conv[:k_inj]), jnp.asarray(m_sp[:k_inj]),
+                jnp.asarray(m_tmp[:k_inj]), jnp.asarray(m_x[:k_inj]),
+            )
+            x = self._sample_pnp(
+                self.params, x, traj, text_embeds_all, mask,
+                masked_edit_latent.astype(jnp.float32),
+                masked_src_latent.astype(jnp.float32),
+                step_data, jnp.float32(cfg_scale), noises[:k_inj],
+                sampler=sampler, do_cfg=cfg_scale > 1.0,
+            )
+        if k_inj < n_run:
+            # injection over: drop the source branch from the batch
+            step_data2 = (jnp.asarray(ts[k_inj:], jnp.int32),
+                          jnp.asarray(ts_prev[k_inj:], jnp.int32))
+            x = self._sample_pnp_tail(
+                self.params, x, text_embeds_all[1:], mask,
+                masked_edit_latent.astype(jnp.float32),
+                step_data2, jnp.float32(cfg_scale), noises[k_inj:],
+                sampler=sampler, do_cfg=cfg_scale > 1.0,
+            )
+        return x
 
 
 def seine_frame_mask(mask_type: str, num_frames: int, h: int, w: int) -> jnp.ndarray:

@@ -11,6 +11,7 @@ from anyv2v_tpu.models.clip import CLIPTextConfig, CLIPTextModel
 from anyv2v_tpu.models.unet_videoldm import VideoLDMUNet, VideoLDMUNetConfig
 from anyv2v_tpu.models.vae import AutoencoderKL, VAEConfig
 from anyv2v_tpu.pipelines.consisti2v import ConsistI2VPipeline, guidance_mode
+from anyv2v_tpu.pipelines import PnPConfig
 from anyv2v_tpu.schedulers import make_schedule
 
 TINY_UNET = VideoLDMUNetConfig(
@@ -198,3 +199,30 @@ def test_rescale_noise_cfg_formula():
     s_text = np.asarray(text_noise).std(axis=(1, 2, 3, 4))
     s_out = np.asarray(out1).std(axis=(1, 2, 3, 4))
     np.testing.assert_allclose(s_out, s_text, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_split_scan_matches_monolithic(pipe_and_frames):
+    """Dropping the source row for the post-injection tail is exact for
+    every guidance mode (the CFG combine never reads the source eps)."""
+    pipe, frames01, F = pipe_and_frames
+    rng = np.random.RandomState(5)
+    latents = pipe.encode_video(frames01)
+    text = jnp.asarray(rng.randn(1, 8, 16) * 0.02, jnp.float32)
+    traj, inv_ts = pipe.invert(latents, text, num_inversion_steps=20)
+    edited_ff = latents[:, :1] * 1.1
+
+    for cfg_txt, cfg_img in [(1.0, 1.0), (7.5, 1.0), (35.0, 1.2)]:
+        mode = guidance_mode(cfg_txt, cfg_img)
+        n_text = {None: 2, "text": 3, "both": 4}[mode]
+        text_all = jnp.asarray(rng.randn(n_text, 8, 16) * 0.02, jnp.float32)
+        kw = dict(
+            traj=traj, inv_ts=inv_ts, text_embeds_all=text_all,
+            edited_ff_latent=edited_ff, src_ff_latent=latents[:, :1],
+            num_inference_steps=10, t_idx=1, cfg_txt=cfg_txt,
+            cfg_img=cfg_img, pnp=PnPConfig(0.2, 0.2, 0.5),
+        )
+        out_split = pipe.sample_with_pnp(**kw)
+        out_mono = pipe.sample_with_pnp(split_scan=False, **kw)
+        np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_mono),
+                                   rtol=2e-5, atol=2e-5)

@@ -193,3 +193,31 @@ def test_real_unet_end_to_end_smoke(real_pipe):
         num_inference_steps=10, guidance_scale=9.0,
     )
     assert recon.shape == latents.shape
+
+
+def test_split_scan_matches_monolithic(real_pipe):
+    """The batch-2 tail (source row dropped once every injection schedule
+    expires) must reproduce the monolithic batch-3 scan exactly — the CFG
+    combine never reads the source eps."""
+    pipe, frames01, F = real_pipe
+    rng = np.random.RandomState(3)
+    latents = pipe.encode_video(frames01)
+    text = jnp.asarray(rng.randn(1, 8, 16) * 0.02, jnp.float32)
+    img_lat = pipe.prepare_image_latents(frames01[0], F)
+    img_emb = jnp.asarray(rng.randn(1, 1, 16) * 0.02, jnp.float32)
+    traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=20)
+
+    kw = dict(
+        text_embeds_all=jnp.concatenate(
+            [text, text * 0.5, jnp.asarray(rng.randn(1, 8, 16) * 0.02,
+                                           jnp.float32)]),
+        image_latents_all=jnp.tile(img_lat, (3, 1, 1, 1, 1)),
+        image_embeds_all=jnp.tile(img_emb, (3, 1, 1)),
+        num_inference_steps=10, t_idx=0, guidance_scale=9.0,
+        pnp=PnPConfig(0.2, 0.2, 0.5),   # injection ends at step 5 of 10
+    )
+    out_split = pipe.sample_with_pnp(traj, inv_ts, **kw)
+    out_mono = pipe.sample_with_pnp(traj, inv_ts, split_scan=False, **kw)
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_mono),
+                               rtol=2e-5, atol=2e-5)

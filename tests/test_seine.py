@@ -303,3 +303,26 @@ def test_seine_transformer_block_golden():
     got = m.apply(jax.tree_util.tree_map(jnp.asarray, params),
                   jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=3e-5)
+
+
+@pytest.mark.slow
+def test_seine_split_scan_matches_monolithic():
+    pipe = _tiny_pipeline()
+    rng = np.random.RandomState(1)
+    frames01 = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    latents = pipe.encode_video(frames01)
+    mask, masked = pipe.build_masked_inputs(frames01[0], 2)
+    text = jnp.zeros((1, 8, 16))
+    traj, traj_ts = pipe.invert(latents, mask, masked, text,
+                                num_inversion_steps=20, num_save_steps=10)
+    text3 = jnp.asarray(rng.randn(3, 8, 16) * 0.02, jnp.float32)
+    kw = dict(
+        traj=traj, traj_ts=traj_ts, text_embeds_all=text3, mask=mask,
+        masked_edit_latent=masked * 1.1, masked_src_latent=masked,
+        num_inference_steps=10, cfg_scale=4.0, sampler="ddpm",
+        pnp=SeinePnPConfig(0.2, 0.2, 0.5, 0.0), key=jax.random.PRNGKey(7),
+    )
+    out_split = pipe.sample_with_pnp(**kw)
+    out_mono = pipe.sample_with_pnp(split_scan=False, **kw)
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_mono),
+                               rtol=2e-5, atol=2e-5)
