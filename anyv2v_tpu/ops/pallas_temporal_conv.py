@@ -109,6 +109,20 @@ def _tconv_call(x, wk, b, s, t, *, w, out_dtype, interpret):
     )(*operands)
 
 
+def _kernel_fits(c: int, c_out: int, f: int, w: int) -> bool:
+    """Conservative VMEM estimate for one program: resident weights +
+    double-buffered x/out blocks + the zero-extended copy + fp32 accumulator
+    (+ the fp32 normalize temporaries on the fused-norm path). Long videos
+    at wide channels (F=128, C>=1280) exceed the ~16 MB budget even at the
+    minimum pixel window — those shapes fall back to the dots formulation."""
+    bytes_needed = (
+        3 * c * c_out * 2
+        + w * ((f + 2) * c * 2 + 2 * f * c * 2 + 2 * f * c_out * 2
+               + f * c_out * 4 + f * c * 4)
+    )
+    return bytes_needed <= 13 * 1024 * 1024
+
+
 def _pixel_tile(c: int, c_out: int, f: int, p: int) -> int:
     """Pixel-window size: keep x/out blocks (double-buffered), the
     zero-extended [(F+2)*w, C] copy and the fp32 accumulator inside the VMEM
@@ -187,8 +201,14 @@ def groupnorm_silu_temporal_conv3(
     kernel = kernel.astype(compute_dtype)
     bias = bias.astype(compute_dtype)
 
-    if jax.default_backend() != "tpu":
-        # CPU mesh/tests: identical math, unfused
+    f = x.shape[1]
+    p_pix = int(np.prod(x.shape[2:-1]))
+    c_out = kernel.shape[-1]
+    use_kernel = jax.default_backend() == "tpu" and _kernel_fits(
+        c, c_out, f, _pixel_tile(c, c_out, f, p_pix))
+    if not use_kernel:
+        # CPU mesh/tests, or shapes whose tiles exceed VMEM: same math,
+        # unfused
         shape = [1] * (x.ndim - 1) + [c]
         h = (x.astype(jnp.float32) * s.reshape(b, *shape[1:])
              + t.reshape(b, *shape[1:]))
