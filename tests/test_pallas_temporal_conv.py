@@ -67,3 +67,30 @@ def test_zero_frame_edges():
     np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[0, 1]), 1.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[0, 2]), 1.0, atol=1e-6)
+
+
+def test_kernel_fits_feasibility():
+    """Long-video wide-channel tiles must route to the dots fallback (the
+    F=128 C=1280 shape blew the 16 MB scoped-VMEM budget in round 4)."""
+    from anyv2v_tpu.ops.pallas_temporal_conv import _kernel_fits, _pixel_tile
+
+    # headline shapes fit
+    assert _kernel_fits(320, 320, 16, _pixel_tile(320, 320, 16, 4096))
+    assert _kernel_fits(1280, 1280, 16, _pixel_tile(1280, 1280, 16, 256))
+    # 128-frame wide channels do not, even at the minimum window
+    assert not _kernel_fits(1280, 1280, 128, 8)
+    # 128-frame narrow channels still fit
+    assert _kernel_fits(320, 320, 128, _pixel_tile(320, 320, 128, 4096))
+
+
+def test_long_video_frame_count_matches_reference_conv():
+    """F=128 goes through the fallback math on CPU — same conv semantics."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 128, 4, 32), jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 32, 32) * 0.05, jnp.float32)
+    bias = jnp.zeros((32,), jnp.float32)
+    out = temporal_conv3(x, kernel, bias)
+    ref = _ref_conv(x[:, :, :, None, :].reshape(1, 128, 4, 1, 32),
+                    kernel, bias).reshape(1, 128, 4, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=3e-5)
