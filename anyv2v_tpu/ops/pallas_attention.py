@@ -60,7 +60,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         k = k_ref[0, kb * block_k:(kb + 1) * block_k, :]
         v = v_ref[0, kb * block_k:(kb + 1) * block_k, :]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT
         ) * scale                    # [Bq, Bk] fp32 accumulate from bf16 MXU
         if bias_ref is not None:
             s = s + bias_ref[0, :, kb * block_k:(kb + 1) * block_k].astype(jnp.float32)
@@ -76,6 +77,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         m = m_new
     o_ref[0] = (acc / l).astype(o_ref.dtype)

@@ -57,7 +57,7 @@ def _softmax_pv(s, v, out_dtype):
     return jax.lax.dot_general(
         (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
+            precision=jax.lax.Precision.DEFAULT).astype(out_dtype)
 
 
 def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
@@ -76,6 +76,7 @@ def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, head_dim: int,
         return jax.lax.dot_general(
             qw, kw, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) * scale + key_mask
 
     pairwise = head_dim == 64 and heads > 1

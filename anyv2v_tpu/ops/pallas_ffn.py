@@ -69,11 +69,13 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     v = jax.lax.dot_general(
         x, w1[:, :inner], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) + b1[:, :inner].astype(jnp.float32)
     if geglu:
         g = jax.lax.dot_general(
             x, w1[:, inner:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         ) + b1[:, inner:].astype(jnp.float32)
         h = v * _gelu_exact(g)
     else:
@@ -83,6 +85,7 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     o = jax.lax.dot_general(
         h, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) + b2_ref[...].astype(jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
 

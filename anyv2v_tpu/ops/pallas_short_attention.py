@@ -49,7 +49,8 @@ def _masked_softmax_attn(q, k, v, mask, scale, out_dtype):
     one head's feature columns are nonzero (the matmul contracts over the
     full W, zeroed k columns kill the other head's q contribution)."""
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT
     ) * scale + mask
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -57,7 +58,7 @@ def _masked_softmax_attn(q, k, v, mask, scale, out_dtype):
     return jax.lax.dot_general(
         (p / l).astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_dtype)
+            precision=jax.lax.Precision.DEFAULT).astype(out_dtype)
 
 
 def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,

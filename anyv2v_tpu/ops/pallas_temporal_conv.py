@@ -61,6 +61,7 @@ def _tconv_kernel(x_ref, w_ref, b_ref, o_ref, *, f: int, w: int,
         acc = acc + jax.lax.dot_general(
             xp[d * w:(d + f) * w], w_ref[d], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
     acc = acc + b_ref[...].astype(jnp.float32)
     o_ref[0] = acc.reshape(f, w, c_out).astype(o_ref.dtype)
@@ -221,6 +222,7 @@ def groupnorm_silu_temporal_conv3(
                 hp[:, d:d + f], kernel[d],
                 (((x.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
             )
             out = part if out is None else out + part
         return (out + bias).astype(compute_dtype)

@@ -19,7 +19,11 @@ if "--xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# ANYV2V_TESTS_TPU=1 keeps the real backend (for the on-chip kernel
+# equivalence gate in tests/test_tpu_equivalence.py); everything else runs
+# on the virtual CPU mesh.
+if os.environ.get("ANYV2V_TESTS_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls in tests must be exact-ish; TPU-style bf16 3-pass is fine for
 # models but breaks golden comparisons.
 jax.config.update("jax_default_matmul_precision", "highest")
