@@ -281,7 +281,8 @@ class FeedForward(nn.Module):
         w2, b2 = _DenseParams(dim, name="proj_out")(inner)
 
         n_rows = int(np.prod(x.shape[:-1]))
-        if ffn_is_fused(n_rows, dim, self.mult):
+        if ffn_is_fused(n_rows, dim, self.mult,
+                        itemsize=jnp.dtype(self.dtype).itemsize):
             return fused_ffn(
                 x.astype(self.dtype), w1.astype(self.dtype),
                 b1.astype(self.dtype), w2.astype(self.dtype),

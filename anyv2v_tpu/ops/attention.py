@@ -104,6 +104,12 @@ def multi_head_attention(
     b, sq, d = query.shape
     backend = _resolve(backend, sq, key.shape[1], d // heads, bias, mask,
                        batch=b)
+    if backend in ("pallas_short", "pallas_cross") and not (
+        bias is None and mask is None
+    ):
+        # the short/cross kernels have no bias/mask operand; silently
+        # dropping one would be a wrong answer, not a slow one
+        raise ValueError(f"backend={backend!r} does not support bias/mask")
     if backend == "pallas_short":
         from .pallas_short_attention import short_attention_bsc
 

@@ -156,7 +156,9 @@ def cross_attention_short_kv(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    block_q = min(_BLOCK_Q, sq)
+    # sublane alignment: a forced-backend sq (e.g. 1000) must still yield an
+    # 8-aligned BlockSpec; pad sq up to the 8-aligned block size
+    block_q = min(_BLOCK_Q, _ceil_to(sq, 8))
     sq_pad = _ceil_to(sq, block_q)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))

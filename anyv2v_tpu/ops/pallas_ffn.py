@@ -129,14 +129,21 @@ def _row_tile(c: int) -> int:
     return 512 if c <= 384 else 256
 
 
-def ffn_is_fused(n_rows: int, c: int, mult: int = 4) -> bool:
+# Resident-weight VMEM envelope: the measured-working ceiling is c=768 at
+# mult 4 in bf16 (w1 + w2 = 3*mult*c^2 * 2 bytes = 14.2 MB inside the 16 MB
+# scoped budget alongside the row tiles). Wider dtypes shrink the feasible c.
+_FFN_WEIGHT_BYTES_MAX = 3 * 4 * 768 * 768 * 2
+
+
+def ffn_is_fused(n_rows: int, c: int, mult: int = 4, itemsize: int = 2) -> bool:
     """True when the fused kernel handles (and wins on) this shape: weights
-    resident in VMEM (c <= 768 at mult 4) and enough rows that streaming them
-    beats XLA's two near-peak matmuls (the intermediate round-trip only
-    dominates once N >> C)."""
+    resident in VMEM (itemsize-aware — a float32 model dtype halves the
+    feasible width) and enough rows that streaming them beats XLA's two
+    near-peak matmuls (the intermediate round-trip only dominates once
+    N >> C)."""
     return (
         jax.default_backend() == "tpu"
-        and c <= 768
+        and 3 * mult * c * c * itemsize <= _FFN_WEIGHT_BYTES_MAX
         and (c * mult) % 128 == 0
         and n_rows >= 8 * c
     )

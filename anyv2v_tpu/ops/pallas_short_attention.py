@@ -238,15 +238,17 @@ def short_attention_frames(
         scale = 1.0 / float(np.sqrt(head_dim))
 
     s_pad = _ceil_to(s, 8)
-    if s_pad > _STRIDED_MAX_SPAD:
+    w = max(8, 128 // s_pad)
+    # the strided grid tiles the pixel axis in windows of w; a non-multiple
+    # hw (odd latent grids) would leave the last partial tile unwritten —
+    # route those shapes through the packed kernel's transposed view instead
+    if s_pad > _STRIDED_MAX_SPAD or hw % w != 0:
         out = short_attention_bsc(
             q.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
             k.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
             v.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
             heads=heads, scale=scale)
         return out.reshape(b, hw, s, c).transpose(0, 2, 1, 3)
-
-    w = max(8, 128 // s_pad)
 
     def pad(x):
         if s_pad != s:

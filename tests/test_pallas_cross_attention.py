@@ -73,3 +73,32 @@ def test_through_public_dispatcher():
     ref = _ref(q, k, v, 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_forced_backend_rejects_bias_and_mask():
+    """Forcing a kernel that has no bias/mask operand must raise, not
+    silently drop the argument (ADVICE r1)."""
+    from anyv2v_tpu.ops.attention import multi_head_attention
+
+    q = jnp.zeros((2, 16, 32), jnp.float32)
+    bias = jnp.zeros((2, 2, 16, 16), jnp.float32)
+    for backend in ("pallas_short", "pallas_cross"):
+        with pytest.raises(ValueError):
+            multi_head_attention(q, q, q, heads=2, bias=bias, backend=backend)
+        with pytest.raises(ValueError):
+            multi_head_attention(q, q, q, heads=2,
+                                 mask=jnp.ones((2, 2, 16, 16), bool),
+                                 backend=backend)
+
+
+def test_unaligned_sq_forced_backend():
+    """sq=1000 (not a multiple of 8) must produce an 8-aligned block and a
+    correct, fully-written output (ADVICE r1)."""
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(1, 1000, 128), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 77, 128), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 77, 128), jnp.float32)
+    out = cross_attention_short_kv(q, k, v, heads=2)
+    ref = _ref(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -90,3 +90,15 @@ def test_feedforward_module_param_tree_unchanged():
     assert tree["proj_in"]["bias"].shape == (512,)
     assert tree["proj_out"]["kernel"].shape == (256, 64)
     assert tree["proj_out"]["bias"].shape == (64,)
+
+
+def test_itemsize_gate():
+    """float32 weights double the resident-VMEM footprint; the gate must
+    shrink the feasible width rather than OOM at compile time (ADVICE r1)."""
+    from unittest import mock
+
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert ffn_is_fused(10**6, 768, itemsize=2)       # bf16 envelope
+        assert not ffn_is_fused(10**6, 768, itemsize=4)   # fp32: 28 MB > VMEM
+        assert not ffn_is_fused(10**6, 640, itemsize=4)   # 19.7 MB > envelope
+        assert ffn_is_fused(10**6, 512, itemsize=4)       # 12.6 MB fits

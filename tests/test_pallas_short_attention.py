@@ -77,6 +77,8 @@ def test_bf16_inputs_stay_bf16():
         (1, 17, 32, 5, 64),    # padded frames, odd heads
         (2, 8, 16, 2, 16),     # tiny arch
         (1, 64, 16, 4, 64),    # s_pad > 32: falls back to the packed kernel
+        (1, 16, 65, 2, 16),    # hw % w != 0 (odd latent grid): packed fallback
+        (2, 8, 31, 2, 16),     # hw below one pixel window
     ],
 )
 def test_frames_variant_matches_xla(b, s, hw, heads, d):
