@@ -124,8 +124,13 @@ def main(argv=None):
         vio.save_video(video, os.path.join(cfg.output_dir, "ddim_reconstruction.gif"),
                        fps=10)
         source = np.asarray(pipe.decode_latents(latents))
-        logger.info("reconstruction PSNR vs source decode: %.2f dB",
-                    psnr(video, source))
+        p = psnr(video, source)
+        logger.info("reconstruction PSNR vs source decode: %.2f dB", p)
+        min_psnr = rc.get("min_psnr", None)
+        if min_psnr is not None and p < float(min_psnr):
+            raise RuntimeError(
+                f"reconstruction PSNR {p:.2f} dB below the min_psnr gate "
+                f"{float(min_psnr):.2f} dB")
 
 
 if __name__ == "__main__":

@@ -106,6 +106,13 @@ def ddim_reconstruction(pipe, tokenizer, cfg, latents, traj, inv_ts, img_lat, im
         "reconstruction vs source decode: PSNR %.2f dB, SSIM %.4f, temporal "
         "consistency PSNR %.2f / SSIM %.4f -> %s",
         report["psnr"], report["ssim"], report["psnr_t"], report["ssim_t"], out)
+    # enforced oracle (SURVEY §4-1: the BASELINE parity metric); opt-in via
+    # recon_config.min_psnr so the reference config surface stays untouched
+    min_psnr = rc.get("min_psnr", None)
+    if min_psnr is not None and report["psnr"] < float(min_psnr):
+        raise RuntimeError(
+            f"reconstruction PSNR {report['psnr']:.2f} dB below the "
+            f"min_psnr gate {float(min_psnr):.2f} dB")
     return report["psnr"]
 
 

@@ -72,6 +72,11 @@ class SeineUNetConfig:
     norm_num_groups: int = 32
     relpos_num_buckets: int = 32
     relpos_max_distance: int = 32
+    # the reference UNet builds one shared RotaryEmbedding(32) and every
+    # temporal attention rotates the first 32 dims of each HEAD of q and k
+    # (seine/models/unet.py:185, attention.py:889-891); clamped to head_dim
+    # for tiny test configs
+    temporal_rotary_dim: int = 32
     pnp_chunks: int = 3
     pnp_attn_targets: Tuple[Tuple[int, int], ...] = (
         (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0), (3, 1), (3, 2),
@@ -89,6 +94,7 @@ class _SeineTransformerBlock(nn.Module):
     relpos_max_distance: int
     dtype: jnp.dtype
     pnp_chunks: int
+    temporal_rotary_dim: int = 32
 
     @nn.compact
     def __call__(self, x, context, inj_spatial=None, inj_cross=None, inj_temporal=None):
@@ -128,9 +134,28 @@ class _SeineTransformerBlock(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_v")(h)
         if inj_temporal is not None:
             # per-pixel fold keeps batch-major chunks: rows [(B HW)] split into
-            # pnp_chunks blocks of (B/chunks)*HW
+            # pnp_chunks blocks of (B/chunks)*HW; the reference hook injects
+            # the flattened q/k BEFORE the head split / rotation
+            # (seine/pnp_utils.py:411-421)
             q = inject_source_rows(q, inj_temporal, self.pnp_chunks)
             k = inject_source_rows(k, inj_temporal, self.pnp_chunks)
+        # per-head rotary on the first min(32, head_dim) dims of q and k
+        # (shared RotaryEmbedding(32), seine/models/unet.py:185; applied in
+        # _attention at attention.py:889-891)
+        rot_dim = min(self.temporal_rotary_dim, self.head_dim)
+        if rot_dim >= 2:
+            from ..ops.rotary import apply_rotary, rotary_angles, rotary_freqs
+
+            ang = rotary_angles(jnp.arange(f, dtype=jnp.float32),
+                                jnp.asarray(rotary_freqs(rot_dim)))[:, None, :]
+
+            def _rot(z):
+                zh = z.reshape(b * hw, f, self.heads, self.head_dim)
+                zh = zh.at[..., :rot_dim].set(
+                    apply_rotary(zh[..., :rot_dim], ang))
+                return zh.reshape(b * hw, f, inner)
+
+            q, k = _rot(q), _rot(k)
         bias_table = self.param(
             "time_rel_pos_bias",
             nn.initializers.normal(0.02),
@@ -161,6 +186,7 @@ class SeineTransformer3D(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     pnp_chunks: int = 3
+    temporal_rotary_dim: int = 32
 
     @nn.compact
     def __call__(self, x, context, inj_spatial=None, inj_cross=None, inj_temporal=None):
@@ -174,7 +200,8 @@ class SeineTransformer3D(nn.Module):
         h = _SeineTransformerBlock(
             self.heads, self.head_dim, self.cross_attention_dim,
             self.num_frames_hint, self.relpos_num_buckets, self.relpos_max_distance,
-            self.dtype, self.pnp_chunks, name="block",
+            self.dtype, self.pnp_chunks,
+            temporal_rotary_dim=self.temporal_rotary_dim, name="block",
         )(h, ctx, inj_spatial, inj_cross, inj_temporal)
         h = h.reshape(bf, h_, w_, inner)
         h = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(h)
@@ -214,7 +241,7 @@ class SeineUNet(nn.Module):
                 heads, ch // heads, cfg.cross_attention_dim, F,
                 cfg.relpos_num_buckets, cfg.relpos_max_distance,
                 groups=cfg.norm_num_groups, dtype=dt, pnp_chunks=cfg.pnp_chunks,
-                name=name,
+                temporal_rotary_dim=cfg.temporal_rotary_dim, name=name,
             )
 
         x = fold_frames(sample.astype(dt))

@@ -67,7 +67,7 @@ class VideoLDMUNetConfig:
     attention_head_dim: int = 64       # spatial: heads = C // head_dim
     n_temp_heads: int = 8              # temporal: head_dim = C // n_temp_heads
     norm_num_groups: int = 32
-    first_frame_condition_mode: str = "concat"   # none | concat | input_only
+    first_frame_condition_mode: str = "concat"   # none | concat | conv2d | input_only
     temp_pos_embedding: str = "rotary"           # rotary | sinusoidal
     augment_temporal_attention: bool = True
     use_frame_stride_condition: bool = True
@@ -327,10 +327,25 @@ class VideoLDMTemporalTransformer(nn.Module):
         normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tokens).astype(self.dtype)
         per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
             b * hw, f, inner)
+        if not self.rotary:
+            # reference TemporalConditionalAttention.forward adds the
+            # sinusoidal PE to hidden states for EVERY call, attn2 included
+            # (videoldm_attention.py:577-580)
+            pe = jnp.asarray(videoldm_positional_encoding(f, inner))
+            per_pixel = per_pixel + pe[None].astype(per_pixel.dtype)
         ctx = jnp.repeat(context.astype(self.dtype), hw, axis=0)  # [(B HW), S, D]
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(per_pixel)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(ctx)
+        if self.rotary:
+            # RotaryEmbAttnProcessor2_0 rotates the QUERY unconditionally —
+            # cross-attention included (videoldm_attention.py:774); keys stay
+            # unrotated (qlen != klen, no key_pos_idx).
+            rot_dim = inner // 2
+            freqs = jnp.asarray(rotary_freqs(rot_dim))
+            q_pos = jnp.arange(f, dtype=jnp.float32)
+            q = q.at[..., :rot_dim].set(
+                apply_rotary(q[..., :rot_dim], rotary_angles(q_pos, freqs)))
         cross = multi_head_attention(q, k, v, heads=self.heads)
         cross = nn.Dense(inner, dtype=self.dtype, name="attn2_to_out")(cross)
         cross = cross.reshape(b, hw, f, inner).transpose(0, 2, 1, 3).reshape(bf, hw, inner)
@@ -372,8 +387,17 @@ class VideoLDMUNet(nn.Module):
     ) -> jax.Array:
         cfg = self.config
         dt = cfg.dtype
-        concat_mode = cfg.first_frame_condition_mode in ("concat", "input_only")
-        cond_spatial = cfg.first_frame_condition_mode == "concat"
+        # reference semantics (videoldm_unet.py:712-714, :1022-1023): EVERY
+        # non-"none" mode prepends the first-frame latent on the frame axis
+        # and strips frame 0 from the output; "concat" and "conv2d"
+        # additionally condition spatial self-attention on frame-0 tokens
+        # (videoldm_unet_blocks.py:506 — condition_on_first_frame excludes
+        # only none/input_only); "conv2d" further REPLACES frame 0 of the
+        # hidden states at each block entry with a 1x1-conv'd
+        # nearest-resized first-frame latent (:508-521).
+        concat_mode = cfg.first_frame_condition_mode != "none"
+        cond_spatial = cfg.first_frame_condition_mode in ("concat", "conv2d")
+        conv2d_mode = cfg.first_frame_condition_mode == "conv2d"
         pnp_on = pnp is not None
 
         if concat_mode:
@@ -413,6 +437,23 @@ class VideoLDMUNet(nn.Module):
                 name=name,
             )
 
+        def ff_conv_inject(x, name):
+            """conv2d mode: replace frame 0 of the hidden states with a
+            1x1-conv of the nearest-resized first-frame latent
+            (videoldm_unet_blocks.py:508-521; torch-nearest indexing =
+            floor(i * in/out))."""
+            bf, h_, w_, c = x.shape
+            ff = first_frame_latents[:, 0].astype(dt)  # [B, h0, w0, 4]
+            ih, iw = ff.shape[1], ff.shape[2]
+            if (ih, iw) != (h_, w_):
+                idx_h = jnp.floor(jnp.arange(h_) * (ih / h_)).astype(jnp.int32)
+                idx_w = jnp.floor(jnp.arange(w_) * (iw / w_)).astype(jnp.int32)
+                ff = ff[:, idx_h][:, :, idx_w]
+            ff = nn.Conv(c, (1, 1), dtype=dt, name=name)(ff)
+            xv = x.reshape(bf // F, F, h_, w_, c)
+            xv = xv.at[:, 0].set(ff.astype(xv.dtype))
+            return xv.reshape(bf, h_, w_, c)
+
         def temporal_tr(name, ch):
             heads, hd = self._tp_heads(ch)
             return VideoLDMTemporalTransformer(
@@ -428,6 +469,8 @@ class VideoLDMUNet(nn.Module):
         n_blocks = len(cfg.block_out_channels)
         for i, ch in enumerate(cfg.block_out_channels):
             is_cross = i < n_blocks - 1
+            if conv2d_mode:
+                x = ff_conv_inject(x, f"down_{i}_first_frame_conv")
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                                   pnp_chunks=cfg.pnp_chunks,
@@ -447,6 +490,8 @@ class VideoLDMUNet(nn.Module):
 
         # --- mid (spatial attention only; videoldm_unet_blocks.py:748) -----
         ch = cfg.block_out_channels[-1]
+        if conv2d_mode:
+            x = ff_conv_inject(x, "mid_first_frame_conv")
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                           name="mid_resnet_0")(x, emb)
         if cfg.use_temporal:
@@ -466,6 +511,8 @@ class VideoLDMUNet(nn.Module):
         attn_targets = set(cfg.pnp_attn_targets)
         for i, ch in enumerate(rev):
             is_cross = i > 0
+            if conv2d_mode:
+                x = ff_conv_inject(x, f"up_{i}_first_frame_conv")
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)

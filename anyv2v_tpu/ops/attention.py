@@ -42,7 +42,7 @@ def default_backend() -> str:
 
 def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
              bias: Optional[jax.Array], mask: Optional[jax.Array],
-             batch: int = 1) -> str:
+             batch: int = 1, heads: int = 1) -> str:
     if backend is None or backend == "auto":
         backend = default_backend()
     if backend != "auto":
@@ -52,13 +52,20 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
     if (
         sq == sk
         and sq <= 128
-        and bias is None
+        and (bias is None or _shared_head_bias(bias))
         and head_dim % 8 == 0
+        and head_dim <= 128
+        and (head_dim == 64 or heads <= 16)
     ):
         # short self-attention (temporal layers: seq = n_frames): the packed
         # block-diagonal kernel — XLA materializes fp32 [rows, H, S, S]
         # scores through 5+ HBM round-trips here (~78 ms of a 247 ms UNet
-        # forward at 16f 512^2, measured; PERF.md round 3)
+        # forward at 16f 512^2, measured; PERF.md round 3). A batch-shared
+        # per-head bias (SEINE's T5 rel-pos bias) folds into the kernel's
+        # precomputed mask. The heads gate bounds the kernel's per-head
+        # unrolled narrow-slice loops: heads=64 checkpoint-true splits hang
+        # Mosaic (measured: b=48 s=64 h=64 d=24 never finishes compiling),
+        # while the pairwise d=64 path and few-head temporal splits are fine.
         return "pallas_short"
     if bias is None and sq != sk and sk <= 512:
         from .pallas_cross_attention import cross_kv_is_supported
@@ -68,6 +75,13 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
             # kernel — the general flash grid degenerates to tiny programs
             # here (measured 1.3-1.7x vs flash across the UNets' shapes)
             return "pallas_cross"
+        if (batch * sq >= 32768 and sq >= _PALLAS_MIN_SQ
+                and head_dim % 8 == 0 and head_dim <= 128):
+            # head splits the cross kernel can't window (heads=64 with
+            # dh_eff 8/16/24 — the checkpoint-true i2vgen split): flash
+            # avoids XLA's materialized [B,H,Sq,Sk] scores at these row
+            # counts (proven on TPU at dh_eff 8/16)
+            return "pallas"
         # below the row threshold XLA beats both kernels on short-KV shapes
         return "xla"
     if sq >= _PALLAS_MIN_SQ and head_dim % 8 == 0 and head_dim <= 128:
@@ -77,9 +91,37 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
     return "xla"
 
 
+def _shared_head_bias(bias: Optional[jax.Array]) -> bool:
+    """True when ``bias`` is a per-head additive bias shared across the batch
+    ([1, heads, Sq, Sk] or [heads, Sq, Sk]) — the shape class the packed
+    short kernel folds into its precomputed mask (SEINE's T5 rel-pos bias is
+    position-only, ``seine/models/attention.py:894-898``)."""
+    if bias is None:
+        return False
+    return (bias.ndim == 4 and bias.shape[0] == 1) or bias.ndim == 3
+
+
 def _split_heads(x: jax.Array, heads: int) -> jax.Array:
     b, s, d = x.shape
     return x.reshape(b, s, heads, d // heads)
+
+
+def _pad_head_dim(x: jax.Array, heads: int, pad: int) -> jax.Array:
+    """Zero-pad each head's feature dim by ``pad`` (folded-channel layout).
+
+    Exact-math trick for the checkpoint-true i2vgen-xl head split (heads=64,
+    head_dim = C/64 in {5,10,20} — diffusers issue #2011): zero q/k feature
+    padding contributes 0 to every q.k score, zero v padding produces zero
+    output columns that the caller slices off, and the softmax scale is
+    passed explicitly from the TRUE head_dim — so the padded kernel result
+    equals unpadded attention bit-for-bit (up to fp reassociation)."""
+    import jax.numpy as jnp
+
+    b, s, d = x.shape
+    dh = d // heads
+    xh = x.reshape(b, s, heads, dh)
+    xh = jnp.pad(xh, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    return xh.reshape(b, s, heads * (dh + pad))
 
 
 def multi_head_attention(
@@ -102,20 +144,40 @@ def multi_head_attention(
     Returns [B, Sq, heads*Dh] in the query dtype.
     """
     b, sq, d = query.shape
-    backend = _resolve(backend, sq, key.shape[1], d // heads, bias, mask,
-                       batch=b)
+    head_dim = d // heads
+    # sublane-align small head dims by zero-padding (exact — see
+    # _pad_head_dim); routing uses the padded dim so the checkpoint-true
+    # heads=64 split (head_dim 5/10/20) still reaches the fused kernels
+    pad = (-head_dim) % 8
+    eff_dh = head_dim + pad
+    backend = _resolve(backend, sq, key.shape[1], eff_dh, bias, mask, batch=b,
+                       heads=heads)
+    short_bias_ok = backend == "pallas_short" and _shared_head_bias(bias)
     if backend in ("pallas_short", "pallas_cross") and not (
-        bias is None and mask is None
+        (bias is None or short_bias_ok) and mask is None
     ):
-        # the short/cross kernels have no bias/mask operand; silently
-        # dropping one would be a wrong answer, not a slow one
-        raise ValueError(f"backend={backend!r} does not support bias/mask")
+        # the cross kernel has no bias/mask operand, and the short kernel
+        # only folds batch-shared per-head biases; silently dropping either
+        # would be a wrong answer, not a slow one
+        raise ValueError(f"backend={backend!r} does not support this bias/mask")
+    if pad and backend in ("pallas_short", "pallas_cross", "pallas"):
+        scale = head_dim ** -0.5 if scale is None else scale
+        query = _pad_head_dim(query, heads, pad)
+        key = _pad_head_dim(key, heads, pad)
+        value = _pad_head_dim(value, heads, pad)
+        out = multi_head_attention(query, key, value, heads=heads, bias=bias,
+                                   mask=mask, scale=scale, backend=backend)
+        return out.reshape(b, sq, heads, eff_dh)[..., :head_dim].reshape(b, sq, d)
     if backend == "pallas_short":
         from .pallas_short_attention import short_attention_bsc
 
         # heads stay folded in the channel dim: the kernel slices them
         # in-kernel, so the [B,S,H,D]->[B,H,S,D] copies never happen
-        return short_attention_bsc(query, key, value, heads=heads, scale=scale)
+        kernel_bias = None
+        if bias is not None:
+            kernel_bias = bias[0] if bias.ndim == 4 else bias  # [H, Sq, Sk]
+        return short_attention_bsc(query, key, value, heads=heads, scale=scale,
+                                   bias=kernel_bias)
     if backend == "pallas_cross":
         from .pallas_cross_attention import cross_attention_short_kv
 
@@ -155,11 +217,34 @@ def temporal_attention(
     head_dim = c // heads
     if backend is None or backend == "auto":
         backend = default_backend()
+    pad_dh = (-head_dim) % 8
+    eff_dh = head_dim + pad_dh
     if backend in ("auto", "pallas", "pallas_short") and (
-        jax.default_backend() == "tpu" and head_dim % 8 == 0
+        jax.default_backend() == "tpu"
+        # same unroll bound as _resolve: few-head temporal splits or the
+        # pairwise d=64 path; wide heads (VideoLDM C=1280 temporal, d=160)
+        # and many-head narrow splits stay on XLA
+        and eff_dh <= 128
+        and (eff_dh == 64 or heads <= 16)
     ):
         from .pallas_short_attention import short_attention_frames
 
+        pad = pad_dh
+        if pad:
+            # exact zero-padding to sublane alignment (see _pad_head_dim)
+            import jax.numpy as jnp
+
+            scale = head_dim ** -0.5 if scale is None else scale
+
+            def padh(x):
+                xh = x.reshape(b, s, hw, heads, head_dim)
+                xh = jnp.pad(xh, ((0, 0),) * 4 + ((0, pad),))
+                return xh.reshape(b, s, hw, heads * (head_dim + pad))
+
+            out = short_attention_frames(padh(query), padh(key), padh(value),
+                                         heads=heads, scale=scale)
+            return out.reshape(b, s, hw, heads, head_dim + pad)[
+                ..., :head_dim].reshape(b, s, hw, c)
         return short_attention_frames(query, key, value, heads=heads,
                                       scale=scale)
 

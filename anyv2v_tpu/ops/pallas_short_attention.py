@@ -66,6 +66,12 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     """One program: [R, C] rows (R = rows_block, C = heads*head_dim), looping
     R/tile row sub-tiles; each sub-tile's heads are solved in VMEM.
 
+    ``mask_ref`` is [n_masks, tile, tile]: n_masks == 1 for the plain
+    block-diagonal mask, n_masks == heads when a per-head additive bias
+    (SEINE's T5 relative-position bias, ref ``seine/models/attention.py:894``)
+    is folded into the mask — the bias is query/key-position-only, so it
+    tiles across the packed diagonal blocks and costs nothing per row.
+
     For head_dim 64 (every video UNet here), heads are processed in PAIRS on
     one 128-lane window: the pair's k columns are zero-masked per head (VPU
     select, lane-aligned — no lane rotations), both QK matmuls contract over
@@ -73,7 +79,11 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     head's q), and the two PV results merge with one lane select. All slices
     land on 128-lane boundaries, which Mosaic handles without relayout."""
     rows = q_ref.shape[0]
-    mask = mask_ref[...]  # [tile, tile] fp32 additive (block-diag + key pad)
+    n_masks = mask_ref.shape[0]
+
+    def mask_h(h):  # static python index — the head loops are unrolled
+        return mask_ref[h if n_masks > 1 else 0]
+
     pairwise = head_dim == 64 and heads > 1
     for r0 in range(0, rows, tile):
         if pairwise:
@@ -85,9 +95,11 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
                 v = v_ref[r0:r0 + tile, c0:c0 + 128]
                 zero = jnp.zeros_like(k)
                 o_lo = _masked_softmax_attn(
-                    q, jnp.where(lane64, k, zero), v, mask, scale, o_ref.dtype)
+                    q, jnp.where(lane64, k, zero), v, mask_h(2 * p_i), scale,
+                    o_ref.dtype)
                 o_hi = _masked_softmax_attn(
-                    q, jnp.where(lane64, zero, k), v, mask, scale, o_ref.dtype)
+                    q, jnp.where(lane64, zero, k), v, mask_h(2 * p_i + 1),
+                    scale, o_ref.dtype)
                 o_ref[r0:r0 + tile, c0:c0 + 128] = jnp.where(lane64, o_lo, o_hi)
             tail = range(heads - 1, heads) if heads % 2 else range(0)
         else:
@@ -98,7 +110,7 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
             k = k_ref[r0:r0 + tile, c0:c0 + head_dim]
             v = v_ref[r0:r0 + tile, c0:c0 + head_dim]
             o_ref[r0:r0 + tile, c0:c0 + head_dim] = _masked_softmax_attn(
-                q, k, v, mask, scale, o_ref.dtype)
+                q, k, v, mask_h(h), scale, o_ref.dtype)
 
 
 @functools.partial(
@@ -114,7 +126,7 @@ def _short_packed(q, k, v, mask, *, heads, head_dim, scale, tile, rows_block,
     grid = (n // rows_block,)
     spec = pl.BlockSpec((rows_block, c), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec(mask.shape, lambda i: (0, 0),
+    mask_spec = pl.BlockSpec(mask.shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_short_kernel, heads=heads, head_dim=head_dim,
                                scale=scale, tile=tile)
@@ -154,7 +166,11 @@ def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     q = q_ref[0].reshape(tile, c)
     k = k_ref[0].reshape(tile, c)
     v = v_ref[0].reshape(tile, c)
-    mask = mask_ref[...]
+    n_masks = mask_ref.shape[0]
+
+    def mask_h(h):
+        return mask_ref[h if n_masks > 1 else 0]
+
     pairwise = head_dim == 64 and heads > 1
     if pairwise:
         lane64 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1) < 64
@@ -163,9 +179,9 @@ def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
             qw, kw, vw = q[:, c0:c0 + 128], k[:, c0:c0 + 128], v[:, c0:c0 + 128]
             zero = jnp.zeros_like(kw)
             o_lo = _masked_softmax_attn(qw, jnp.where(lane64, kw, zero), vw,
-                                        mask, scale, o_ref.dtype)
+                                        mask_h(2 * p_i), scale, o_ref.dtype)
             o_hi = _masked_softmax_attn(qw, jnp.where(lane64, zero, kw), vw,
-                                        mask, scale, o_ref.dtype)
+                                        mask_h(2 * p_i + 1), scale, o_ref.dtype)
             o_ref[0, :, :, c0:c0 + 128] = jnp.where(lane64, o_lo, o_hi).reshape(
                 s_pad, w, 128)
         tail = range(heads - 1, heads) if heads % 2 else range(0)
@@ -175,7 +191,7 @@ def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
         c0 = h * head_dim
         o_ref[0, :, :, c0:c0 + head_dim] = _masked_softmax_attn(
             q[:, c0:c0 + head_dim], k[:, c0:c0 + head_dim],
-            v[:, c0:c0 + head_dim], mask, scale, o_ref.dtype,
+            v[:, c0:c0 + head_dim], mask_h(h), scale, o_ref.dtype,
         ).reshape(s_pad, w, head_dim)
 
 
@@ -197,7 +213,7 @@ def _strided_call(q, k, v, mask, *, heads, head_dim, scale, w, interpret):
     grid = (b, hw // w)
     spec = pl.BlockSpec((1, s_pad, w, c), lambda i, j: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec(mask.shape, lambda i, j: (0, 0),
+    mask_spec = pl.BlockSpec(mask.shape, lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_strided_kernel, heads=heads,
                                head_dim=head_dim, scale=scale)
@@ -228,10 +244,14 @@ def short_attention_frames(
     v: jax.Array,
     heads: int,
     scale: float | None = None,
+    bias: jax.Array | None = None,   # [heads, S, S] (shared across B and HW)
 ) -> jax.Array:
     """Fused attention over the frame axis S of [B, S, HW, C] tokens without
     any layout transposes (S <= 32; larger S falls back to the packed kernel
-    on a transposed view). Returns [B, S, HW, C]."""
+    on a transposed view). ``bias`` is a per-head additive score bias shared
+    by every pixel row (SEINE's T5 relative-position bias) — it folds into
+    the precomputed mask, so it costs nothing per row. Returns
+    [B, S, HW, C]."""
     b, s, hw, c = q.shape
     head_dim = c // heads
     if scale is None:
@@ -247,7 +267,7 @@ def short_attention_frames(
             q.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
             k.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
             v.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
-            heads=heads, scale=scale)
+            heads=heads, scale=scale, bias=bias)
         return out.reshape(b, hw, s, c).transpose(0, 2, 1, 3)
 
     def pad(x):
@@ -255,7 +275,17 @@ def short_attention_frames(
             x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
         return x
 
-    mask = jnp.asarray(_strided_mask(s_pad, w, s))
+    mask = jnp.asarray(_strided_mask(s_pad, w, s))[None]  # [1, tile, tile]
+    if bias is not None:
+        # rows are (frame, pixel)-ordered: bias term at (r, c) is
+        # bias[h, r//w, c//w] — a w x w block expansion of the padded bias
+        bp = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 0), (0, s_pad - s), (0, s_pad - s)))
+        tile = s_pad * w
+        expanded = jnp.broadcast_to(
+            bp[:, :, None, :, None], (heads, s_pad, w, s_pad, w)
+        ).reshape(heads, tile, tile)
+        mask = mask + expanded
     interpret = jax.default_backend() != "tpu"
     out = _strided_call(pad(q), pad(k), pad(v), mask, heads=heads,
                         head_dim=head_dim, scale=float(scale), w=w,
@@ -269,9 +299,14 @@ def short_attention_bsc(
     v: jax.Array,    # [B, S, C]
     heads: int,
     scale: float | None = None,
+    bias: jax.Array | None = None,   # [heads, S, S] (shared across B)
 ) -> jax.Array:
     """Fused self-attention over a short sequence axis (S <= 128), batched
-    over B rows, heads packed in the channel dim. Returns [B, S, C]."""
+    over B rows, heads packed in the channel dim. ``bias`` is a per-head
+    additive score bias shared by every batch row (SEINE's T5 rel-pos bias,
+    ref ``seine/models/attention.py:894-898``): it is position-only, so it
+    tiles across the packed diagonal blocks into the precomputed mask.
+    Returns [B, S, C]."""
     b, s, c = q.shape
     head_dim = c // heads
     if scale is None:
@@ -301,7 +336,11 @@ def short_attention_bsc(
         kf = jnp.pad(kf, ((0, n_pad - b * s_pad), (0, 0)))
         vf = jnp.pad(vf, ((0, n_pad - b * s_pad), (0, 0)))
 
-    mask = jnp.asarray(_block_diag_mask(tile, s_pad, s))
+    mask = jnp.asarray(_block_diag_mask(tile, s_pad, s))[None]  # [1, t, t]
+    if bias is not None:
+        bp = jnp.pad(bias.astype(jnp.float32),
+                     ((0, 0), (0, s_pad - s), (0, s_pad - s)))
+        mask = mask + jnp.tile(bp, (1, g, g))  # [heads, tile, tile]
     interpret = jax.default_backend() != "tpu"
     out = _short_packed(qf, kf, vf, mask, heads=heads, head_dim=head_dim,
                         scale=float(scale), tile=tile, rows_block=rows_block,

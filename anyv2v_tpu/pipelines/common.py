@@ -14,12 +14,83 @@ import jax.numpy as jnp
 from ..models.vae import sample_from_moments
 
 
-class LatentCodecMixin:
-    """Expects ``vae``, ``text_encoder``, ``params`` attributes. Sharding
-    hooks are identity by default; mesh-aware pipelines override them."""
+class ShardingMixin:
+    """Frame-axis SPMD helpers shared by every backbone pipeline (SURVEY.md
+    §2.6): video tensors shard over the mesh's 'frame' axis, conditioning is
+    replicated, params are replicated. All helpers are identity when the
+    pipeline's ``mesh`` attribute is None (the single-device default), so the
+    same driver code covers both paths."""
+
+    @property
+    def _mesh(self):
+        return getattr(self, "mesh", None)
+
+    def _shard_params_if_mesh(self) -> None:
+        """Call from ``__post_init__``: replicate params across the mesh."""
+        if self._mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, self._mesh)
+
+    def _video_spec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, "frame", None, None, None)
+
+    def _put_video(self, x: jax.Array) -> jax.Array:
+        """Shard [B, F, h, w, C] over the frame axis."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(x, NamedSharding(self._mesh, self._video_spec()))
+
+    def _put_replicated(self, x: jax.Array) -> jax.Array:
+        if self._mesh is None:
+            return x
+        from ..parallel.mesh import replicated
+
+        return jax.device_put(x, replicated(self._mesh))
+
+    def _constrain_video(self, x: jax.Array) -> jax.Array:
+        """In-jit frame-sharding constraint for scan carries (keeps XLA from
+        drifting to a replicated layout between steps)."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self._mesh, self._video_spec())
+        )
 
     def _put_frames(self, x: jax.Array) -> jax.Array:
-        return x
+        """Shard a flat frame batch [N, H, W, C] over all devices (VAE path)."""
+        if self._mesh is None:
+            return x
+        from ..parallel.mesh import frames_sharding
+
+        return jax.device_put(x, frames_sharding(self._mesh))
+
+    def _constrain_cfg_rows(self, x: jax.Array) -> jax.Array:
+        """In-jit constraint for the concatenated CFG batch [N_cfg, F, ...]:
+        rows shard over 'cfg' (pure data parallelism — the reference's only
+        batch axis, ``pipeline_i2vgen_xl.py:1136-1138``), frames over 'frame'.
+        Falls back to frame-only sharding on a (1, n) mesh, where the cfg
+        axis is size 1."""
+        if self._mesh is None:
+            return x
+        if self._mesh.shape.get("cfg", 1) == 1:
+            return self._constrain_video(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self._mesh, P("cfg", "frame", None, None, None))
+        )
+
+
+class LatentCodecMixin(ShardingMixin):
+    """Expects ``vae``, ``text_encoder``, ``params`` attributes. Sharding
+    hooks come from :class:`ShardingMixin` (identity when ``mesh`` is None)."""
 
     @cached_property
     def _encode_frames(self):

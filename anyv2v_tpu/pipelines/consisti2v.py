@@ -70,14 +70,26 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
 
 @dataclasses.dataclass
 class ConsistI2VPipeline(LatentCodecMixin):
+    """``mesh`` (optional): a ('cfg', 'frame') mesh. Video state tensors
+    shard over 'frame'; the first-frame conditioning latent ([B, 1, h, w, 4])
+    is replicated — the UNet's frame-axis concat (reference
+    ``videoldm_unet.py:712-714``) then prepends a replicated frame 0 to the
+    sharded frames 1..F, exactly the SURVEY §7 'replicate frame 0, shard the
+    rest' decision; XLA places the F+1 axis accordingly."""
+
     unet: VideoLDMUNet
     vae: AutoencoderKL
     text_encoder: CLIPTextModel
     schedule: DiffusionSchedule
     params: Dict[str, Any]
     cache_dtype: jnp.dtype = jnp.float32
+    mesh: Optional[Any] = None
 
-    # encoders/decoders come from LatentCodecMixin
+    def __post_init__(self):
+        self._shard_params_if_mesh()
+
+    # encoders/decoders come from LatentCodecMixin; sharding helpers from
+    # ShardingMixin (identity when mesh is None)
 
     # -- inversion -----------------------------------------------------------
 
@@ -99,9 +111,9 @@ class ConsistI2VPipeline(LatentCodecMixin):
                     first_frame_latents=first_frame_latents,
                     frame_stride=frame_stride,
                 )
-                x_next = ddim_inverse_step(
+                x_next = self._constrain_video(ddim_inverse_step(
                     self.schedule, x, eps.astype(jnp.float32), t, n_steps
-                )
+                ))
                 # cache row includes the clean frame-0 latent (reference :932-941)
                 row = jnp.concatenate([first_frame_latents, x_next], axis=1)
                 return x_next, row.astype(self.cache_dtype)
@@ -122,15 +134,15 @@ class ConsistI2VPipeline(LatentCodecMixin):
         """cfg_txt = cfg_img = 1.0 inversion (reference
         ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``). Dispatched in
         ``chunk_steps`` segments (remote-TPU per-execution time limit)."""
-        ff = video_latents[:, :1]
-        rest = video_latents[:, 1:]
+        ff = self._put_replicated(video_latents[:, :1])
+        rest = self._put_video(video_latents[:, 1:])
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
         chunks = []
         step = min(chunk_steps, num_inversion_steps)
         x = rest
         for start in range(0, num_inversion_steps, step):
             traj_chunk = self._invert(
-                self.params, x, ff, text_embeds,
+                self.params, x, ff, self._put_replicated(text_embeds),
                 jnp.int32(frame_stride),
                 jnp.asarray(inv_ts[start:start + step], jnp.int32),
                 total_steps=num_inversion_steps,
@@ -191,7 +203,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 else:
                     _s, e_u, e_i, e_b = jnp.split(eps_all, 4, axis=0)
                     eps = e_u + cfg_img * (e_i - e_u) + cfg_txt * (e_b - e_i)
-                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                x = self._constrain_video(ddim_step(self.schedule, x, eps, t, t_prev))
                 return x, None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
@@ -240,7 +252,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 else:
                     e_u, e_i, e_b = jnp.split(eps_all, 3, axis=0)
                     eps = e_u + cfg_img * (e_i - e_u) + cfg_txt * (e_b - e_i)
-                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                x = self._constrain_video(ddim_step(self.schedule, x, eps, t, t_prev))
                 return x, None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
@@ -297,7 +309,9 @@ class ConsistI2VPipeline(LatentCodecMixin):
         if not split_scan:
             k_inj = n_run
 
-        out = init_latent
+        out = self._put_video(init_latent)
+        cache_ff = self._put_replicated(cache_ff)
+        text_embeds_all = self._put_replicated(text_embeds_all)
         if k_inj > 0:
             step_data = (
                 jnp.asarray(ts_run[:k_inj], jnp.int32),
@@ -308,7 +322,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
             )
             out = self._sample_pnp(
                 self.params, out, cache_ff, traj, text_embeds_all,
-                src_ff_latent.astype(jnp.float32), edited_ff_latent.astype(jnp.float32),
+                self._put_replicated(src_ff_latent.astype(jnp.float32)),
+                self._put_replicated(edited_ff_latent.astype(jnp.float32)),
                 jnp.int32(frame_stride), step_data,
                 jnp.float32(cfg_txt), jnp.float32(cfg_img), jnp.float32(guidance_rescale),
                 mode=mode,
@@ -320,7 +335,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
             )
             out = self._sample_pnp_tail(
                 self.params, out, cache_ff, text_embeds_all[1:],
-                edited_ff_latent.astype(jnp.float32),
+                self._put_replicated(edited_ff_latent.astype(jnp.float32)),
                 jnp.int32(frame_stride), step_data2,
                 jnp.float32(cfg_txt), jnp.float32(cfg_img),
                 jnp.float32(guidance_rescale), mode=mode,
@@ -366,7 +381,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 else:
                     e_u, e_i, e_b = jnp.split(eps_all, 3, axis=0)
                     eps = e_u + cfg_img * (e_i - e_u) + cfg_txt * (e_b - e_i)
-                x = ddim_step(self.schedule, x, eps, t, t_prev)
+                x = self._constrain_video(ddim_step(self.schedule, x, eps, t, t_prev))
                 return x, None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32), step_data)
@@ -416,8 +431,10 @@ class ConsistI2VPipeline(LatentCodecMixin):
         step_data = (jnp.asarray(ts, jnp.int32),
                      jnp.asarray(ts - step_ratio, jnp.int32))
         out = self._sample_plain(
-            self.params, state, noisy_ff, text_embeds_all,
-            first_frame_latent.astype(jnp.float32), jnp.int32(frame_stride),
+            self.params, self._put_video(state), self._put_replicated(noisy_ff),
+            self._put_replicated(text_embeds_all),
+            self._put_replicated(first_frame_latent.astype(jnp.float32)),
+            jnp.int32(frame_stride),
             step_data, jnp.float32(cfg_txt), jnp.float32(cfg_img),
             jnp.float32(guidance_rescale), mode=mode,
         )

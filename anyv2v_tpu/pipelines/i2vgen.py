@@ -81,53 +81,10 @@ class I2VGenPipeline(LatentCodecMixin):
     mesh: Optional[Mesh] = None
 
     def __post_init__(self):
-        if self.mesh is not None:
-            from ..parallel.mesh import shard_params
+        self._shard_params_if_mesh()
 
-            self.params = shard_params(self.params, self.mesh)
-
-    # ------------------------------------------------------------------
-    # sharding helpers (no-ops when mesh is None)
-    # ------------------------------------------------------------------
-
-    def _video_spec(self):
-        from jax.sharding import PartitionSpec as P
-
-        return P(None, "frame", None, None, None)
-
-    def _put_video(self, x: jax.Array) -> jax.Array:
-        """Shard [B, F, h, w, 4] over the frame axis."""
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding
-
-        return jax.device_put(x, NamedSharding(self.mesh, self._video_spec()))
-
-    def _put_replicated(self, x: jax.Array) -> jax.Array:
-        if self.mesh is None:
-            return x
-        from ..parallel.mesh import replicated
-
-        return jax.device_put(x, replicated(self.mesh))
-
-    def _constrain_video(self, x: jax.Array) -> jax.Array:
-        """In-jit frame-sharding constraint for scan carries (keeps XLA from
-        drifting to a replicated layout between steps)."""
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding
-
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, self._video_spec())
-        )
-
-    def _put_frames(self, x: jax.Array) -> jax.Array:
-        """Shard a flat frame batch [N, H, W, C] over all devices (VAE path)."""
-        if self.mesh is None:
-            return x
-        from ..parallel.mesh import frames_sharding
-
-        return jax.device_put(x, frames_sharding(self.mesh))
+    # sharding helpers (_put_video/_put_replicated/_constrain_video/
+    # _put_frames) come from ShardingMixin via LatentCodecMixin
 
     # ------------------------------------------------------------------
     # encoders
@@ -196,6 +153,7 @@ class I2VGenPipeline(LatentCodecMixin):
         num_inversion_steps: int = 500,
         fps: int = 8,
         chunk_steps: int = 125,
+        num_save_steps: Optional[int] = None,
     ):
         """Returns (trajectory [n, 1, F, h, w, 4], ascending timesteps [n]).
 
@@ -206,8 +164,23 @@ class I2VGenPipeline(LatentCodecMixin):
         program, re-invoked with the carried latent): a single 500-step
         device execution (~2 min) exceeds the remote-TPU per-execution limit,
         and chunking also bounds peak trajectory workspace.
+
+        ``num_save_steps`` (SEINE's save-grid precedent,
+        ``seine/configs/ddim_inversion.yaml:31``): keep only trajectory rows
+        whose timesteps lie on the coarser ``num_save_steps`` grid. With
+        leading spacing the 50-step sampling grid nests inside any save grid
+        that is a multiple of 50, so editing is unaffected while the
+        retained trajectory shrinks proportionally — the difference between
+        fitting and not fitting a 128-frame 500-point inversion in one
+        chip's HBM (a full fp32 grid there is 16.8 GB).
         """
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
+        keep = None
+        if num_save_steps is not None and num_save_steps < num_inversion_steps:
+            save_ts = set(
+                int(t) for t in
+                inversion_timesteps(self.schedule, num_save_steps))
+            keep = np.array([int(t) in save_ts for t in inv_ts])
         args = (
             self._put_replicated(text_embeds),
             self._put_video(image_latents),
@@ -223,10 +196,15 @@ class I2VGenPipeline(LatentCodecMixin):
                 jnp.asarray(ts_chunk, jnp.int32), jnp.int32(fps),
                 total_steps=num_inversion_steps,
             )
-            chunks.append(traj_chunk)
             x = traj_chunk[-1].astype(jnp.float32)
+            if keep is not None:
+                # subselect per chunk so the peak footprint is one chunk +
+                # the retained rows, never the full grid
+                rows = np.nonzero(keep[start:start + step])[0]
+                traj_chunk = jnp.take(traj_chunk, jnp.asarray(rows), axis=0)
+            chunks.append(traj_chunk)
         traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-        return traj, inv_ts
+        return traj, (inv_ts[keep] if keep is not None else inv_ts)
 
     # ------------------------------------------------------------------
     # PnP editing / plain sampling
@@ -242,7 +220,7 @@ class I2VGenPipeline(LatentCodecMixin):
                 src = jax.lax.dynamic_index_in_dim(
                     traj, cache_i, axis=0, keepdims=False
                 ).astype(jnp.float32)
-                inp = jnp.concatenate([src, x, x], axis=0)
+                inp = self._constrain_cfg_rows(jnp.concatenate([src, x, x], axis=0))
                 eps3 = self.unet.apply(
                     params["unet"],
                     sample=inp,
@@ -371,7 +349,8 @@ class I2VGenPipeline(LatentCodecMixin):
                image_embeds_all, fps_n, step_data, cfg, *, do_cfg):
             def body(x, step):
                 t, t_prev = step
-                inp = jnp.concatenate([x, x], axis=0) if do_cfg else x
+                inp = (self._constrain_cfg_rows(jnp.concatenate([x, x], axis=0))
+                       if do_cfg else x)
                 eps = self.unet.apply(
                     params["unet"],
                     sample=inp,

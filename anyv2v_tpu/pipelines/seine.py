@@ -65,14 +65,24 @@ def ddpm_grid(schedule: DiffusionSchedule, num_inference_steps: int) -> np.ndarr
 
 @dataclasses.dataclass
 class SeinePipeline(LatentCodecMixin):
+    """``mesh`` (optional): a ('cfg', 'frame') mesh. The latent state, the
+    frame mask and the masked-video latent (the 9-channel conditioning built
+    per step from ``run_pnp_edit.py:183-187``) all shard over 'frame' — the
+    per-frame channel concat is local, temporal attention all-gathers."""
+
     unet: SeineUNet
     vae: AutoencoderKL
     text_encoder: CLIPTextModel
     schedule: DiffusionSchedule
     params: Dict[str, Any]
     cache_dtype: jnp.dtype = jnp.float32
+    mesh: Optional[Any] = None
 
-    # encoders/decoders come from LatentCodecMixin
+    def __post_init__(self):
+        self._shard_params_if_mesh()
+
+    # encoders/decoders come from LatentCodecMixin; sharding helpers from
+    # ShardingMixin (identity when mesh is None)
 
     def build_masked_inputs(self, first_frame01: jax.Array, num_frames: int
                             ) -> Tuple[jax.Array, jax.Array]:
@@ -109,7 +119,7 @@ class SeinePipeline(LatentCodecMixin):
                     encoder_hidden_states=text,
                 ).astype(jnp.float32)
                 t_src = jnp.minimum(t - step_ratio, self.schedule.num_train_timesteps - 1)
-                x_next = ddim_transfer(self.schedule, x, eps, t_src, t)
+                x_next = self._constrain_video(ddim_transfer(self.schedule, x, eps, t_src, t))
                 return x_next, x_next.astype(self.cache_dtype)
 
             _, traj = jax.lax.scan(body, x0.astype(jnp.float32), inv_ts)
@@ -134,10 +144,13 @@ class SeinePipeline(LatentCodecMixin):
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
         chunks = []
         step = min(chunk_steps, num_inversion_steps)
-        x = video_latents
+        x = self._put_video(video_latents)
+        mask = self._put_video(mask)
+        masked_latent = self._put_video(masked_latent)
         for start in range(0, num_inversion_steps, step):
             traj_chunk = self._invert(
-                self.params, x, mask, masked_latent, text_embeds,
+                self.params, x, mask, masked_latent,
+                self._put_replicated(text_embeds),
                 jnp.asarray(inv_ts[start:start + step], jnp.int32),
                 total_steps=num_inversion_steps,
             )
@@ -175,7 +188,7 @@ class SeinePipeline(LatentCodecMixin):
                     x = ddpm_step(self.schedule, x, eps, t, t_prev, noise)
                 else:
                     x = ddim_step(self.schedule, x, eps, t, t_prev)
-                return x, None
+                return self._constrain_video(x), None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32),
                                   (*step_data, noises))
@@ -204,7 +217,7 @@ class SeinePipeline(LatentCodecMixin):
                     x = ddpm_step(self.schedule, x, eps, t, t_prev, noise)
                 else:
                     x = ddim_step(self.schedule, x, eps, t, t_prev)
-                return x, None
+                return self._constrain_video(x), None
 
             out, _ = jax.lax.scan(body, init_latent.astype(jnp.float32),
                                   (*step_data, noises))
@@ -262,7 +275,9 @@ class SeinePipeline(LatentCodecMixin):
         if not split_scan:
             k_inj = n_run
 
-        x = init_latent
+        x = self._put_video(init_latent)
+        mask = self._put_video(mask)
+        text_embeds_all = self._put_replicated(text_embeds_all)
         if k_inj > 0:
             step_data = (
                 jnp.asarray(ts[:k_inj], jnp.int32),
@@ -273,8 +288,8 @@ class SeinePipeline(LatentCodecMixin):
             )
             x = self._sample_pnp(
                 self.params, x, traj, text_embeds_all, mask,
-                masked_edit_latent.astype(jnp.float32),
-                masked_src_latent.astype(jnp.float32),
+                self._put_video(masked_edit_latent.astype(jnp.float32)),
+                self._put_video(masked_src_latent.astype(jnp.float32)),
                 step_data, jnp.float32(cfg_scale), noises[:k_inj],
                 sampler=sampler, do_cfg=cfg_scale > 1.0,
             )
@@ -284,7 +299,7 @@ class SeinePipeline(LatentCodecMixin):
                           jnp.asarray(ts_prev[k_inj:], jnp.int32))
             x = self._sample_pnp_tail(
                 self.params, x, text_embeds_all[1:], mask,
-                masked_edit_latent.astype(jnp.float32),
+                self._put_video(masked_edit_latent.astype(jnp.float32)),
                 step_data2, jnp.float32(cfg_scale), noises[k_inj:],
                 sampler=sampler, do_cfg=cfg_scale > 1.0,
             )

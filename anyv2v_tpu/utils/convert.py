@@ -519,6 +519,10 @@ def convert_unet_videoldm(sd: Mapping[str, np.ndarray],
     for i in range(n):
         is_cross = i < n - 1
         base = f"down_blocks.{i}"
+        # conv2d first-frame mode: per-block 1x1 conv on the resized
+        # first-frame latent (videoldm_unet_blocks.py:383,:588,:781,:989)
+        if f"{base}.first_frame_conv.weight" in sd:
+            p[f"down_{i}_first_frame_conv"] = t_conv(sd, f"{base}.first_frame_conv")
         for j in range(layers_per_block):
             p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
             if use_temporal:
@@ -536,9 +540,13 @@ def convert_unet_videoldm(sd: Mapping[str, np.ndarray],
         p["mid_conv3d_0"] = _alpha_temporal_resnet(sd, "mid_block.conv3ds.0")
         p["mid_conv3d_1"] = _alpha_temporal_resnet(sd, "mid_block.conv3ds.1")
     p["mid_attn"] = _videoldm_spatial_transformer(sd, "mid_block.attentions.0")
+    if "mid_block.first_frame_conv.weight" in sd:
+        p["mid_first_frame_conv"] = t_conv(sd, "mid_block.first_frame_conv")
     for i in range(n):
         is_cross = i > 0
         base = f"up_blocks.{i}"
+        if f"{base}.first_frame_conv.weight" in sd:
+            p[f"up_{i}_first_frame_conv"] = t_conv(sd, f"{base}.first_frame_conv")
         for j in range(layers_per_block + 1):
             p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
             if use_temporal:

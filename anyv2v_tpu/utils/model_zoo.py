@@ -30,13 +30,20 @@ from ..pipelines.i2vgen import I2VGenPipeline
 from ..schedulers import make_schedule
 
 
-# i2vgen-xl production architecture (ali-vilab/i2vgen-xl)
+# i2vgen-xl production architecture (ali-vilab/i2vgen-xl). The checkpoint
+# carries attention_head_dim=64 which diffusers' 3D UNets treat as the head
+# COUNT (issue #2011; convert.resolve_i2vgen_heads) — so the true split is
+# heads=64, head_dim=C/64 in {5,10,20}. That is what benches and entry() run.
 I2VGEN_XL = dict(
-    unet=I2VGenUNetConfig(),
+    unet=I2VGenUNetConfig(num_attention_heads=64),
     vae=VAEConfig(),
     text=CLIPTextConfig(),
     vision=CLIPVisionConfig(),
 )
+
+# The TPU-friendly heads=C/64 variant (head_dim=64 everywhere) kept for
+# kernel A/Bs; NOT the checkpoint architecture.
+I2VGEN_XL_WIDEHEAD = dict(I2VGEN_XL, unet=I2VGenUNetConfig())
 
 # small-but-structured config for smoke runs / CI (x8 VAE, full block zoo)
 I2VGEN_TINY = dict(
@@ -93,6 +100,7 @@ def build_consisti2v_pipeline(
     seed: int = 0,
     dtype: jnp.dtype = jnp.bfloat16,
     scheduler_kwargs: Dict[str, Any] | None = None,
+    mesh=None,
 ) -> ConsistI2VPipeline:
     spec = CONSISTI2V_ARCHS[arch]
     unet_cfg = _override_dtype(spec["unet"], dtype)
@@ -126,7 +134,7 @@ def build_consisti2v_pipeline(
 
     schedule = make_schedule(**(scheduler_kwargs or {}))
     return ConsistI2VPipeline(unet=unet, vae=vae, text_encoder=text,
-                              schedule=schedule, params=params)
+                              schedule=schedule, params=params, mesh=mesh)
 
 
 def _override_dtype(cfg, dtype):
@@ -439,6 +447,7 @@ def build_seine_pipeline(
     seed: int = 0,
     dtype: jnp.dtype = jnp.bfloat16,
     scheduler_kwargs: Dict[str, Any] | None = None,
+    mesh=None,
 ) -> SeinePipeline:
     spec = SEINE_ARCHS[arch]
     unet_cfg = spec["unet"] if "tiny" in arch else _override_dtype(spec["unet"], dtype)
@@ -472,7 +481,7 @@ def build_seine_pipeline(
 
     schedule = make_schedule(**{**SEINE_SCHEDULER, **(scheduler_kwargs or {})})
     return SeinePipeline(unet=unet, vae=vae, text_encoder=text,
-                         schedule=schedule, params=params)
+                         schedule=schedule, params=params, mesh=mesh)
 
 
 # ===========================================================================

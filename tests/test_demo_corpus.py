@@ -62,8 +62,20 @@ inverse_config:
   output_dir: "${{output_dir}}/ddim_latents"
   inverse_static_video: False
   null_image_inversion: False
+# recon with an ENFORCED PSNR gate (SURVEY §4-1). With random tiny weights
+# the cfg=1 round-trip measures ~19.6 dB (up/down eps evaluation drift);
+# 15 dB catches numerics regressions, while the >=35 dB oracle proper
+# applies to converted real checkpoints (BASELINE.json) and exactness is
+# covered by the stub round-trip tests.
 recon_config:
-  enable_recon: False
+  enable_recon: True
+  cfg: 1.0
+  n_steps: 10
+  ddim_init_latents_t_idx: 0
+  target_fps: 8
+  prompt: ""
+  negative_prompt: ""
+  min_psnr: 15.0
 """)
     inv_group = tmp_path / "inv_group.json"
     inv_group.write_text(json.dumps([

@@ -108,3 +108,114 @@ def test_explicit_backend_through_dispatcher():
     ref = _ref(q, k, v, heads=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("heads,d", [(64, 5), (64, 10), (64, 20), (8, 12)])
+def test_unaligned_head_dim_padding_matches_xla(heads, d):
+    """Checkpoint-true i2vgen-xl head split (heads=64, head_dim=C/64 in
+    {5,10,20}; diffusers issue #2011): the dispatcher zero-pads head_dim up
+    to a sublane multiple with the TRUE-dim softmax scale — exact math."""
+    rng = np.random.RandomState(2)
+    c = heads * d
+    q = jnp.asarray(rng.randn(3, 16, c), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 16, c), jnp.float32)
+    v = jnp.asarray(rng.randn(3, 16, c), jnp.float32)
+    out = multi_head_attention(q, k, v, heads=heads, backend="pallas_short")
+    ref = _ref(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_unaligned_head_dim_padding_flash_and_frames():
+    from anyv2v_tpu.ops.attention import temporal_attention
+
+    rng = np.random.RandomState(3)
+    heads, d = 16, 5
+    c = heads * d
+    # flash path (forced): long spatial sequence
+    q = jnp.asarray(rng.randn(1, 1024, c), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1024, c), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 1024, c), jnp.float32)
+    out = multi_head_attention(q, k, v, heads=heads, backend="pallas")
+    ref = _ref(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "b,s,heads,d",
+    [
+        (12, 16, 8, 40),   # SEINE temporal L0: heads=8, head_dim=C/8=40
+        (5, 16, 8, 64),    # pairwise path with per-head masks
+        (3, 9, 3, 16),     # padded seq + odd head count
+    ],
+)
+def test_shared_head_bias_matches_xla(b, s, heads, d):
+    """SEINE's T5 rel-pos temporal bias (batch-shared, per-head) folds into
+    the packed kernel's precomputed mask (VERDICT r1 item 4)."""
+    rng = np.random.RandomState(5)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    bias = jnp.asarray(rng.randn(heads, s, s), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=heads, bias=bias)
+    qh = q.reshape(b, s, heads, d)
+    kh = k.reshape(b, s, heads, d)
+    vh = v.reshape(b, s, heads, d)
+    ref = jax.nn.dot_product_attention(
+        qh, kh, vh, bias=bias[None], implementation="xla").reshape(b, s, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_shared_head_bias_through_dispatcher():
+    """multi_head_attention routes a [1, H, S, S] bias to the packed kernel
+    when forced, and the result matches the XLA path (which broadcasts the
+    same bias)."""
+    rng = np.random.RandomState(6)
+    b, s, heads, d = 6, 16, 4, 24
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    bias = jnp.asarray(rng.randn(1, heads, s, s), jnp.float32)
+    out = multi_head_attention(q, k, v, heads=heads, bias=bias,
+                               backend="pallas_short")
+    ref = multi_head_attention(q, k, v, heads=heads, bias=bias, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_per_batch_bias_still_rejected():
+    rng = np.random.RandomState(7)
+    b, s, heads, d = 4, 16, 2, 16
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    bias = jnp.asarray(rng.randn(b, heads, s, s), jnp.float32)
+    with pytest.raises(ValueError, match="bias"):
+        multi_head_attention(q, q, q, heads=heads, bias=bias,
+                             backend="pallas_short")
+
+
+def test_strided_frames_bias_matches_xla():
+    from anyv2v_tpu.ops.pallas_short_attention import short_attention_frames
+
+    rng = np.random.RandomState(8)
+    b, s, hw, heads, d = 2, 16, 64, 4, 16
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    bias = jnp.asarray(rng.randn(heads, s, s), jnp.float32)
+    out = short_attention_frames(q, k, v, heads=heads, bias=bias)
+
+    def t(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * hw, s, heads, d)
+
+    ref = jax.nn.dot_product_attention(
+        t(q), t(k), t(v), bias=jnp.tile(bias[None], (b * hw, 1, 1, 1)),
+        implementation="xla",
+    ).reshape(b, hw, s, c).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

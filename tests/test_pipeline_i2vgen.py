@@ -221,3 +221,37 @@ def test_split_scan_matches_monolithic(real_pipe):
     out_mono = pipe.sample_with_pnp(traj, inv_ts, split_scan=False, **kw)
     np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_mono),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_save_grid_subsetting_roundtrip(stub_pipe):
+    """SEINE-style save-grid subsetting for i2vgen inversion (VERDICT r1
+    item 6; precedent ``seine/configs/ddim_inversion.yaml:31``): invert on a
+    100-step grid but keep only the 50-point save grid — the 10-step
+    sampling grid nests inside it, so reconstruction stays exact and the
+    trajectory halves."""
+    pipe, frames01, F = stub_pipe
+    latents = pipe.encode_video(frames01)
+    text = jnp.zeros((1, 8, 16))
+    img_lat = pipe.prepare_image_latents(frames01[0], F)
+    img_emb = jnp.zeros((1, 1, 16))
+
+    traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=100, num_save_steps=50,
+                               chunk_steps=40)  # chunks straddle the grid
+    assert traj.shape[0] == 50 and len(inv_ts) == 50
+    # the 50-grid is every other 100-grid point: [11, 31, ...] leading+1
+    full_ts = set(
+        int(t) for t in
+        __import__("anyv2v_tpu.schedulers", fromlist=["inversion_timesteps"])
+        .inversion_timesteps(pipe.schedule, 100))
+    assert all(int(t) in full_ts for t in inv_ts)
+
+    out = pipe.sample_with_pnp(
+        traj, inv_ts,
+        text_embeds_all=jnp.tile(text, (3, 1, 1)),
+        image_latents_all=jnp.tile(img_lat, (3, 1, 1, 1, 1)),
+        image_embeds_all=jnp.tile(img_emb, (3, 1, 1)),
+        num_inference_steps=10, t_idx=0, guidance_scale=9.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(latents),
+                               rtol=1e-4, atol=1e-4)

@@ -207,7 +207,12 @@ def test_seine_transformer_block_golden():
     reference (seine/models/attention.py:439-647): spatial attn1 -> cross
     attn2 -> temporal attn_temp with T5 relative-position bias added to the
     SCALED scores (:813-815, scale applied to q before the matmul) -> GEGLU
-    ff, with the temporal fold [(B F), HW, C] -> [(B HW), F, C]."""
+    ff, with the temporal fold [(B F), HW, C] -> [(B HW), F, C].
+
+    Temporal q/k are additionally rotated per head by the UNet's shared
+    ``RotaryEmbedding(32)`` (seine/models/unet.py:185, applied at
+    attention.py:889-891); clamped to head_dim for this tiny config, with
+    the vendored rotary library as the oracle."""
     import math
 
     import torch
@@ -218,9 +223,11 @@ def test_seine_transformer_block_golden():
     from anyv2v_tpu.models.unet_seine import _SeineTransformerBlock
     from anyv2v_tpu.utils import convert as C
     from tests.test_convert_golden import TAttn, TFF, sd_pref
+    from tests.test_full_model_golden import _vendored_rotary
 
     F_, HW, Cc, CTX, HEADS = 3, 4, 8, 12, 2
     BUCKETS, MAXD = 32, 32
+    ROT = _vendored_rotary()(min(32, Cc // HEADS))
 
     class TTemporalAttn(tnn.Module):
         """Reference TemporalAttention._attention (:860-917): scores =
@@ -259,6 +266,9 @@ def test_seine_transformer_block_golden():
             q = rearrange(self.to_q(x) * scale, "b f (h d) -> b h f d", h=HEADS)
             k = rearrange(self.to_k(x), "b f (h d) -> b h f d", h=HEADS)
             v = rearrange(self.to_v(x), "b f (h d) -> b h f d", h=HEADS)
+            # shared rotary on q AND k (seine/models/attention.py:889-891)
+            q = ROT.rotate_queries_or_keys(q)
+            k = ROT.rotate_queries_or_keys(k)
             s = torch.einsum("bhid,bhjd->bhij", q, k) + self._bias(f)[None]
             p = s.softmax(-1)
             o = torch.einsum("bhij,bhjd->bhid", p, v)
