@@ -6,12 +6,26 @@ backbone tree — ``encode_vae_video`` / ``decode_latents`` clones in
 
 from __future__ import annotations
 
+import os
 from functools import cached_property
 
 import jax
 import jax.numpy as jnp
 
 from ..models.vae import sample_from_moments
+
+
+def resolve_chunk_steps(requested: int) -> int:
+    """Scan-dispatch segment length for the long inversion scans.
+
+    Each segment is one device execution; the remote-TPU transport enforces a
+    per-execution wall-clock limit (a 125-step segment at the checkpoint-true
+    heads=64 step cost ~0.9 s/step exceeds it and kills the worker, measured
+    round 5). The default 25 keeps every architecture's segment well under
+    the limit; ``ANYV2V_SCAN_CHUNK`` overrides for fast archs or real
+    hardware without the transport limit."""
+    env = os.environ.get("ANYV2V_SCAN_CHUNK")
+    return int(env) if env else requested
 
 
 class ShardingMixin:

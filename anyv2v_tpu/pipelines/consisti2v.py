@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
-from .common import LatentCodecMixin
+from .common import LatentCodecMixin, resolve_chunk_steps
 from ..models.unet_videoldm import VideoLDMUNet
 from ..models.unet_i2vgen import PnPFlags
 from ..models.vae import AutoencoderKL
@@ -129,7 +129,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
         text_embeds: jax.Array,     # [1, S, D]
         num_inversion_steps: int = 500,
         frame_stride: int = 3,
-        chunk_steps: int = 125,
+        chunk_steps: int = 25,
     ):
         """cfg_txt = cfg_img = 1.0 inversion (reference
         ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``). Dispatched in
@@ -138,7 +138,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
         rest = self._put_video(video_latents[:, 1:])
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
         chunks = []
-        step = min(chunk_steps, num_inversion_steps)
+        step = min(resolve_chunk_steps(chunk_steps), num_inversion_steps)
         x = rest
         for start in range(0, num_inversion_steps, step):
             traj_chunk = self._invert(

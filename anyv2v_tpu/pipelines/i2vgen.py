@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..models.clip import CLIPTextModel, CLIPVisionModel
-from .common import LatentCodecMixin
+from .common import LatentCodecMixin, resolve_chunk_steps
 from ..models.unet_i2vgen import I2VGenUNet, PnPFlags
 from ..models.vae import AutoencoderKL
 from ..schedulers import (
@@ -152,7 +152,7 @@ class I2VGenPipeline(LatentCodecMixin):
         image_embeds: jax.Array,      # [1, 1, D]
         num_inversion_steps: int = 500,
         fps: int = 8,
-        chunk_steps: int = 125,
+        chunk_steps: int = 25,
         num_save_steps: Optional[int] = None,
     ):
         """Returns (trajectory [n, 1, F, h, w, 4], ascending timesteps [n]).
@@ -188,7 +188,7 @@ class I2VGenPipeline(LatentCodecMixin):
         )
         x = self._put_video(video_latents)
         chunks = []
-        step = min(chunk_steps, num_inversion_steps)
+        step = min(resolve_chunk_steps(chunk_steps), num_inversion_steps)
         for start in range(0, num_inversion_steps, step):
             ts_chunk = inv_ts[start:start + step]
             traj_chunk = self._invert(

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.clip import CLIPTextModel
-from .common import LatentCodecMixin
+from .common import LatentCodecMixin, resolve_chunk_steps
 from ..models.unet_seine import SeinePnPFlags, SeineUNet
 from ..models.vae import AutoencoderKL
 from ..ops.pnp import injection_step_mask
@@ -135,7 +135,7 @@ class SeinePipeline(LatentCodecMixin):
         text_embeds: jax.Array,
         num_inversion_steps: int = 500,
         num_save_steps: int = 250,
-        chunk_steps: int = 125,
+        chunk_steps: int = 25,
     ):
         """Returns (trajectory at the save grid, its timesteps) — the
         reference persists only the 250-step toy-scheduler sub-grid
@@ -143,7 +143,7 @@ class SeinePipeline(LatentCodecMixin):
         segments (remote-TPU per-execution time limit)."""
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
         chunks = []
-        step = min(chunk_steps, num_inversion_steps)
+        step = min(resolve_chunk_steps(chunk_steps), num_inversion_steps)
         x = self._put_video(video_latents)
         mask = self._put_video(mask)
         masked_latent = self._put_video(masked_latent)
