@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention, temporal_attention
+from ..ops.attention import multi_head_attention, padded_head_dim, temporal_attention
 from ..ops.pnp import inject_source_rows
 
 # ---------------------------------------------------------------------------
@@ -181,7 +181,15 @@ class Attention(nn.Module):
     optional Q/K transform (rotary), additive bias (T5 rel-pos), and an
     optional IP-Adapter branch (``ip=True`` creates to_k_ip/to_v_ip; image
     tokens attend separately and add scaled output — reference
-    ``ip_adapter/attention_processor.py:80-188``)."""
+    ``ip_adapter/attention_processor.py:80-188``).
+
+    Sublane-unaligned head dims (the checkpoint-true i2vgen-xl heads=64
+    split: head_dim C/64 in {5, 10, 20}) are stored PADDED in the projection
+    weights — to_q/to_k/to_v grow zero output columns per head and to_out
+    grows zero input rows (``ops.attention.padded_head_dim``), so activations
+    are born lane-aligned and no runtime pad/slice tensors exist. The softmax
+    scale always comes from the TRUE head dim, making the padded math exact;
+    the weight converter zero-fills the same positions."""
 
     heads: int
     head_dim: int
@@ -204,9 +212,16 @@ class Attention(nn.Module):
         ip_scale: float = 1.0,
         frame_axis: bool = False,   # x is [B, S, HW, C]; attend over S (axis 1)
     ) -> jax.Array:
-        inner = self.heads * self.head_dim
+        dh_store = padded_head_dim(self.head_dim)
+        inner = self.heads * dh_store
+        scale = float(self.head_dim) ** -0.5
         out_dim = self.out_dim or x.shape[-1]
         ctx = x if context is None else context
+        if dh_store != self.head_dim:
+            # rotary pairs features (i, i + dh/2) within each TRUE head —
+            # padded storage would re-pair across the zero columns
+            assert qk_transform is None, \
+                "qk_transform is incompatible with padded head storage"
 
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
@@ -224,10 +239,11 @@ class Attention(nn.Module):
         if frame_axis:
             # temporal tokens in their module-native 4D layout (no transpose)
             assert bias is None and context is None and not self.ip
-            out = temporal_attention(q, k, v, heads=self.heads)
+            out = temporal_attention(q, k, v, heads=self.heads, scale=scale)
             return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
-        out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
+        out = multi_head_attention(q, k, v, heads=self.heads, bias=bias,
+                                   scale=scale)
 
         if self.ip and ip_tokens is not None:
             k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -235,7 +251,8 @@ class Attention(nn.Module):
             v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                             name="to_v_ip")(ip_tokens.astype(self.dtype))
             out = out + ip_scale * multi_head_attention(q, k_ip, v_ip,
-                                                        heads=self.heads)
+                                                        heads=self.heads,
+                                                        scale=scale)
 
         return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 

@@ -40,6 +40,45 @@ def default_backend() -> str:
     return os.environ.get("ANYV2V_ATTN_BACKEND", "auto")
 
 
+def padded_head_dim(d: int) -> int:
+    """Storage per-head dim for attention projections.
+
+    The checkpoint-true i2vgen-xl split (heads=64, head_dim=C/64 in {5,10,20}
+    — diffusers issue #2011) has sublane-unaligned head dims. Runtime
+    zero-padding of activations materializes [B,S,heads,5]-tiled temps whose
+    minor dim pads 5->128 lanes in XLA's tiled layout (measured 6.38 GB of
+    HLO temps for ONE L0 cross-attention at 512^2 — VERDICT r2); instead the
+    padding is folded into the projection WEIGHTS once at param-build /
+    conversion time (pad to_q/to_k/to_v output columns and to_out input rows
+    per head), so activations are born aligned at zero runtime cost.
+
+    Rule: unaligned dims pad to the next power of two (>= 8), which always
+    divides 128 — so G = 128 // padded heads pack exactly into one MXU lane
+    window (the kernels' head-packing trick). Aligned dims are unchanged.
+    Zero q/k pad columns contribute 0 to every q.k score, zero v pad columns
+    produce zero output lanes matched by zero to_out rows, and softmax scale
+    comes from the TRUE head dim — the padded math is exact.
+    """
+    if d % 8 == 0:
+        return d
+    p = 8
+    while p < d:
+        p *= 2
+    return p
+
+
+def _window_packable(heads: int, head_dim: int) -> bool:
+    """True when G = 128 // head_dim whole heads tile each 128-lane window
+    exactly — the shape class the head-packed kernels serve (checkpoint-true
+    i2vgen heads=64 at padded head dims 8/16/32; see padded_head_dim)."""
+    return (
+        head_dim <= 64
+        and 128 % head_dim == 0
+        and (heads * head_dim) % 128 == 0
+        and heads >= 128 // head_dim
+    )
+
+
 def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
              bias: Optional[jax.Array], mask: Optional[jax.Array],
              batch: int = 1, heads: int = 1) -> str:
@@ -55,7 +94,7 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
         and (bias is None or _shared_head_bias(bias))
         and head_dim % 8 == 0
         and head_dim <= 128
-        and (head_dim == 64 or heads <= 16)
+        and (head_dim == 64 or heads <= 16 or _window_packable(heads, head_dim))
     ):
         # short self-attention (temporal layers: seq = n_frames): the packed
         # block-diagonal kernel — XLA materializes fp32 [rows, H, S, S]
@@ -67,6 +106,14 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
         # Mosaic (measured: b=48 s=64 h=64 d=24 never finishes compiling),
         # while the pairwise d=64 path and few-head temporal splits are fine.
         return "pallas_short"
+    if (bias is None and head_dim < 64 and _window_packable(heads, head_dim)
+            and sq >= 256 and sk <= 8192 and batch * sq >= 16384):
+        # narrow-head long/cross attention (checkpoint-true i2vgen heads=64,
+        # padded dh 8/16/32): the head-packed flash kernel keeps heads folded
+        # in the channel dim, packs G = 128/dh heads per MXU lane window, and
+        # runs online softmax with lane-replicated per-head state — the
+        # split-head flash kernel wastes >= 75% of MXU lanes and VMEM here
+        return "pallas_packed"
     if bias is None and sq != sk and sk <= 512:
         from .pallas_cross_attention import cross_kv_is_supported
 
@@ -77,10 +124,8 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
             return "pallas_cross"
         if (batch * sq >= 32768 and sq >= _PALLAS_MIN_SQ
                 and head_dim % 8 == 0 and head_dim <= 128):
-            # head splits the cross kernel can't window (heads=64 with
-            # dh_eff 8/16/24 — the checkpoint-true i2vgen split): flash
-            # avoids XLA's materialized [B,H,Sq,Sk] scores at these row
-            # counts (proven on TPU at dh_eff 8/16)
+            # narrow-head splits neither windowed kernel serves: flash still
+            # avoids XLA's materialized [B,H,Sq,Sk] scores at these row counts
             return "pallas"
         # below the row threshold XLA beats both kernels on short-KV shapes
         return "xla"
@@ -153,7 +198,7 @@ def multi_head_attention(
     backend = _resolve(backend, sq, key.shape[1], eff_dh, bias, mask, batch=b,
                        heads=heads)
     short_bias_ok = backend == "pallas_short" and _shared_head_bias(bias)
-    if backend in ("pallas_short", "pallas_cross") and not (
+    if backend in ("pallas_short", "pallas_cross", "pallas_packed") and not (
         (bias is None or short_bias_ok) and mask is None
     ):
         # the cross kernel has no bias/mask operand, and the short kernel
@@ -183,6 +228,11 @@ def multi_head_attention(
 
         return cross_attention_short_kv(query, key, value, heads=heads,
                                         scale=scale)
+    if backend == "pallas_packed":
+        from .pallas_packed_flash import packed_flash_attention
+
+        return packed_flash_attention(query, key, value, heads=heads,
+                                      scale=scale)
 
     q = _split_heads(query, heads)   # [B, Sq, H, Dh]
     k = _split_heads(key, heads)
@@ -221,11 +271,12 @@ def temporal_attention(
     eff_dh = head_dim + pad_dh
     if backend in ("auto", "pallas", "pallas_short") and (
         jax.default_backend() == "tpu"
-        # same unroll bound as _resolve: few-head temporal splits or the
-        # pairwise d=64 path; wide heads (VideoLDM C=1280 temporal, d=160)
-        # and many-head narrow splits stay on XLA
+        # same bound as _resolve: few-head temporal splits, the pairwise
+        # d=64 path, or window-packable narrow splits (checkpoint-true
+        # heads=64 at padded dh 8/16/32); wide heads (VideoLDM C=1280
+        # temporal, d=160) stay on XLA
         and eff_dh <= 128
-        and (eff_dh == 64 or heads <= 16)
+        and (eff_dh == 64 or heads <= 16 or _window_packable(heads, eff_dh))
     ):
         from .pallas_short_attention import short_attention_frames
 

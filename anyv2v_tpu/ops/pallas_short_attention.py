@@ -61,6 +61,47 @@ def _masked_softmax_attn(q, k, v, mask, scale, out_dtype):
             precision=jax.lax.Precision.DEFAULT).astype(out_dtype)
 
 
+def _window_heads(heads: int, head_dim: int) -> int:
+    """Heads per 128-lane MXU window for the lane-masked packing trick
+    (pairwise at dh=64; G = 128/dh for the checkpoint-true narrow splits).
+    0 disables windowing (wide or non-dividing head dims)."""
+    if head_dim > 64 or 128 % head_dim != 0 or heads < 128 // head_dim:
+        return 0
+    return 128 // head_dim
+
+
+def _solve_window(q, k, v, mask_h, n_masks, g_win, head_win, head_dim,
+                  scale, out_dtype):
+    """All g_win heads of one 128-lane window: per head, K's other-head
+    lanes are zero-masked (VPU select; the zeroed columns cancel the other
+    heads' q in the full-depth contraction) and results merge with lane
+    selects. g_win == 2 unrolls (the measured-optimal pairwise path);
+    wider windows (checkpoint-true heads=64 at dh 8/16/32) run a
+    fori_loop with iota-derived lane masks — no narrow slices reach
+    Mosaic, whose per-head narrow-slice unrolls hang at heads=64."""
+    zero = jnp.zeros_like(k)
+    if g_win == 2:
+        lane64 = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) < 64
+        o_lo = _masked_softmax_attn(q, jnp.where(lane64, k, zero), v,
+                                    mask_h(head_win), scale, out_dtype)
+        o_hi = _masked_softmax_attn(q, jnp.where(lane64, zero, k), v,
+                                    mask_h(head_win + 1), scale, out_dtype)
+        return jnp.where(lane64, o_lo, o_hi)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+
+    def body(g, o_acc):
+        lo = g * head_dim
+        sel = (lane >= lo) & (lane < lo + head_dim)
+        kg = jnp.where(sel, k, zero)
+        mask = mask_h(head_win + g) if n_masks > 1 else mask_h(0)
+        o_g = _masked_softmax_attn(q, kg, v, mask, scale, out_dtype)
+        return jnp.where(sel, o_g, o_acc)
+
+    return jax.lax.fori_loop(0, g_win, body,
+                             jnp.zeros(q.shape[:-1] + (128,), out_dtype))
+
+
 def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
                   head_dim: int, scale: float, tile: int):
     """One program: [R, C] rows (R = rows_block, C = heads*head_dim), looping
@@ -72,40 +113,29 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     is folded into the mask — the bias is query/key-position-only, so it
     tiles across the packed diagonal blocks and costs nothing per row.
 
-    For head_dim 64 (every video UNet here), heads are processed in PAIRS on
-    one 128-lane window: the pair's k columns are zero-masked per head (VPU
-    select, lane-aligned — no lane rotations), both QK matmuls contract over
-    the full 128 lanes (full MXU depth; the zeroed k half cancels the other
-    head's q), and the two PV results merge with one lane select. All slices
-    land on 128-lane boundaries, which Mosaic handles without relayout."""
+    Heads are processed G = 128/head_dim at a time on 128-lane windows via
+    lane-masked K (see :func:`_solve_window`); heads that don't fill a whole
+    window fall to the narrow per-head tail loop (few-head splits only —
+    routing never sends many-head non-dividing splits here)."""
     rows = q_ref.shape[0]
     n_masks = mask_ref.shape[0]
 
-    def mask_h(h):  # static python index — the head loops are unrolled
+    def mask_h(h):
         return mask_ref[h if n_masks > 1 else 0]
 
-    pairwise = head_dim == 64 and heads > 1
+    g_win = _window_heads(heads, head_dim)
+    n_win = heads // g_win if g_win else 0
     for r0 in range(0, rows, tile):
-        if pairwise:
-            lane64 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1) < 64
-            for p_i in range(heads // 2):
-                c0 = p_i * 128
-                q = q_ref[r0:r0 + tile, c0:c0 + 128]
-                k = k_ref[r0:r0 + tile, c0:c0 + 128]
-                v = v_ref[r0:r0 + tile, c0:c0 + 128]
-                zero = jnp.zeros_like(k)
-                o_lo = _masked_softmax_attn(
-                    q, jnp.where(lane64, k, zero), v, mask_h(2 * p_i), scale,
-                    o_ref.dtype)
-                o_hi = _masked_softmax_attn(
-                    q, jnp.where(lane64, zero, k), v, mask_h(2 * p_i + 1),
-                    scale, o_ref.dtype)
-                o_ref[r0:r0 + tile, c0:c0 + 128] = jnp.where(lane64, o_lo, o_hi)
-            tail = range(heads - 1, heads) if heads % 2 else range(0)
-        else:
-            tail = range(heads)
-        for h in tail:
-            c0 = h * head_dim  # 128-aligned for the pairwise tail (h even)
+        for w_i in range(n_win):
+            c0 = w_i * 128
+            q = q_ref[r0:r0 + tile, c0:c0 + 128]
+            k = k_ref[r0:r0 + tile, c0:c0 + 128]
+            v = v_ref[r0:r0 + tile, c0:c0 + 128]
+            o_ref[r0:r0 + tile, c0:c0 + 128] = _solve_window(
+                q, k, v, mask_h, n_masks, g_win, w_i * g_win, head_dim,
+                scale, o_ref.dtype)
+        for h in range(n_win * g_win if g_win else 0, heads):
+            c0 = h * head_dim
             q = q_ref[r0:r0 + tile, c0:c0 + head_dim]
             k = k_ref[r0:r0 + tile, c0:c0 + head_dim]
             v = v_ref[r0:r0 + tile, c0:c0 + head_dim]
@@ -171,23 +201,15 @@ def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     def mask_h(h):
         return mask_ref[h if n_masks > 1 else 0]
 
-    pairwise = head_dim == 64 and heads > 1
-    if pairwise:
-        lane64 = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1) < 64
-        for p_i in range(heads // 2):
-            c0 = p_i * 128
-            qw, kw, vw = q[:, c0:c0 + 128], k[:, c0:c0 + 128], v[:, c0:c0 + 128]
-            zero = jnp.zeros_like(kw)
-            o_lo = _masked_softmax_attn(qw, jnp.where(lane64, kw, zero), vw,
-                                        mask_h(2 * p_i), scale, o_ref.dtype)
-            o_hi = _masked_softmax_attn(qw, jnp.where(lane64, zero, kw), vw,
-                                        mask_h(2 * p_i + 1), scale, o_ref.dtype)
-            o_ref[0, :, :, c0:c0 + 128] = jnp.where(lane64, o_lo, o_hi).reshape(
-                s_pad, w, 128)
-        tail = range(heads - 1, heads) if heads % 2 else range(0)
-    else:
-        tail = range(heads)
-    for h in tail:
+    g_win = _window_heads(heads, head_dim)
+    n_win = heads // g_win if g_win else 0
+    for w_i in range(n_win):
+        c0 = w_i * 128
+        o_ref[0, :, :, c0:c0 + 128] = _solve_window(
+            q[:, c0:c0 + 128], k[:, c0:c0 + 128], v[:, c0:c0 + 128],
+            mask_h, n_masks, g_win, w_i * g_win, head_dim, scale,
+            o_ref.dtype).reshape(s_pad, w, 128)
+    for h in range(n_win * g_win if g_win else 0, heads):
         c0 = h * head_dim
         o_ref[0, :, :, c0:c0 + head_dim] = _masked_softmax_attn(
             q[:, c0:c0 + head_dim], k[:, c0:c0 + head_dim],

@@ -166,16 +166,66 @@ def t_proj_1x1(sd, prefix: str, as_conv: bool) -> Tree:
     return out
 
 
-def _attn(sd, p: str) -> Tree:
+def pad_attention_heads(attn: Tree, heads: int, head_dim: int) -> Tree:
+    """Fold lane-alignment padding into attention projection weights.
+
+    Mirrors ``models.layers.Attention``'s padded storage for
+    sublane-unaligned head dims (checkpoint-true i2vgen heads=64, head_dim
+    C/64 in {5,10,20} -> stored 8/16/32; ``ops.attention.padded_head_dim``):
+    to_q/to_k/to_v gain zero output columns per head (zero q/k columns add 0
+    to every score; zero v columns yield zero output lanes) and to_out gains
+    zero input rows at the same positions — bit-identical math, aligned
+    activations, no runtime pad/slice tensors."""
+    from ..ops.attention import padded_head_dim
+
+    pd = padded_head_dim(head_dim)
+    if pd == head_dim:
+        return attn
+
+    def pad_cols(lin):
+        out = dict(lin)
+        k = np.asarray(lin["kernel"]).reshape(-1, heads, head_dim)
+        out["kernel"] = np.ascontiguousarray(
+            np.pad(k, ((0, 0), (0, 0), (0, pd - head_dim))).reshape(
+                k.shape[0], heads * pd))
+        if "bias" in lin:
+            b = np.asarray(lin["bias"]).reshape(heads, head_dim)
+            out["bias"] = np.ascontiguousarray(
+                np.pad(b, ((0, 0), (0, pd - head_dim))).reshape(heads * pd))
+        return out
+
+    def pad_rows(lin):
+        out = dict(lin)
+        k = np.asarray(lin["kernel"])
+        k = k.reshape(heads, head_dim, k.shape[-1])
+        out["kernel"] = np.ascontiguousarray(
+            np.pad(k, ((0, 0), (0, pd - head_dim), (0, 0))).reshape(
+                heads * pd, k.shape[-1]))
+        return out
+
+    new = dict(attn)
+    for n in ("to_q", "to_k", "to_v"):
+        new[n] = pad_cols(attn[n])
+    new["to_out"] = pad_rows(attn["to_out"])
+    return new
+
+
+def _attn(sd, p: str, heads: int | None = None,
+          head_dim: int | None = None) -> Tree:
     """diffusers Attention -> layers.Attention {to_q,to_k,to_v,to_out}.
-    torch to_out is Sequential(Linear, Dropout) -> flax single Dense."""
-    return {
+    torch to_out is Sequential(Linear, Dropout) -> flax single Dense.
+    ``heads``/``head_dim`` trigger padded-head storage (see
+    ``pad_attention_heads``) for sublane-unaligned splits."""
+    out = {
         "to_q": t_linear_zero_bias(sd, f"{p}.to_q") if f"{p}.to_q.bias" in sd
                 else t_linear(sd, f"{p}.to_q"),
         "to_k": t_linear(sd, f"{p}.to_k"),
         "to_v": t_linear(sd, f"{p}.to_v"),
         "to_out": t_linear(sd, f"{p}.to_out.0"),
     }
+    if heads is not None and head_dim is not None:
+        out = pad_attention_heads(out, heads, head_dim)
+    return out
 
 
 def _attn_flat(sd, p: str, names=("to_q", "to_k", "to_v", "to_out")) -> Tree:
@@ -227,38 +277,43 @@ def _temp_conv(sd, p: str) -> Tree:
     return out
 
 
-def _basic_block(sd, p: str) -> Tree:
+def _basic_block(sd, p: str, heads: int | None = None,
+                 head_dim: int | None = None) -> Tree:
     """diffusers BasicTransformerBlock -> layers.BasicTransformerBlock."""
     out = {
         "norm1": _layernorm(sd, f"{p}.norm1"),
-        "attn1": _attn(sd, f"{p}.attn1"),
+        "attn1": _attn(sd, f"{p}.attn1", heads, head_dim),
         "norm3": _layernorm(sd, f"{p}.norm3"),
         "ff": _ff(sd, f"{p}.ff"),
     }
     if f"{p}.attn2.to_q.weight" in sd:
         out["norm2"] = _layernorm(sd, f"{p}.norm2")
-        out["attn2"] = _attn(sd, f"{p}.attn2")
+        out["attn2"] = _attn(sd, f"{p}.attn2", heads, head_dim)
     return out
 
 
-def _spatial_transformer(sd, p: str) -> Tree:
+def _spatial_transformer(sd, p: str, heads: int | None = None,
+                         head_dim: int | None = None) -> Tree:
     """diffusers Transformer2DModel -> layers.SpatialTransformer
     (proj_in/out are 1x1 convs in the flax module)."""
     return {
         "norm": t_norm(sd, f"{p}.norm"),
         "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
-        "blocks_0": _basic_block(sd, f"{p}.transformer_blocks.0"),
+        "blocks_0": _basic_block(sd, f"{p}.transformer_blocks.0", heads,
+                                 head_dim),
         "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
     }
 
 
-def _temporal_transformer(sd, p: str) -> Tree:
+def _temporal_transformer(sd, p: str, heads: int | None = None,
+                          head_dim: int | None = None) -> Tree:
     """diffusers TransformerTemporalModel -> layers.TemporalTransformer
     (proj_in/out are Linear on both sides)."""
     return {
         "norm": t_norm(sd, f"{p}.norm"),
         "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=False),
-        "blocks_0": _basic_block(sd, f"{p}.transformer_blocks.0"),
+        "blocks_0": _basic_block(sd, f"{p}.transformer_blocks.0", heads,
+                                 head_dim),
         "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=False),
     }
 
@@ -361,13 +416,31 @@ def resolve_i2vgen_heads(hf_config: Mapping) -> int:
 
 def convert_unet_i2vgen(sd: Mapping[str, np.ndarray],
                         block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
-                        layers_per_block: int = 2) -> Tree:
+                        layers_per_block: int = 2,
+                        num_attention_heads: int | None = None,
+                        attention_head_dim: int = 64) -> Tree:
     """diffusers ``I2VGenXLUNet`` state dict -> models.unet_i2vgen.I2VGenUNet
-    params. Sequential-index keys follow diffusers 0.26 module layout."""
+    params. Sequential-index keys follow diffusers 0.26 module layout.
+
+    ``num_attention_heads``/``attention_head_dim`` follow I2VGenUNetConfig
+    semantics (the resolved diffusers-#2011 head COUNT wins;
+    ``resolve_i2vgen_heads``): when the per-block head_dim is
+    sublane-unaligned (the checkpoint's heads=64 -> dh 5/10/20), projection
+    weights are stored PADDED (``pad_attention_heads``) to match the flax
+    module's aligned storage."""
     n = len(block_out_channels)
+
+    def _hd(ch: int) -> Tuple[int, int]:
+        if num_attention_heads:
+            return num_attention_heads, ch // num_attention_heads
+        return ch // attention_head_dim, attention_head_dim
     p: Tree = {
         "conv_in": t_conv(sd, "conv_in"),
-        "transformer_in": _temporal_transformer(sd, "transformer_in"),
+        # transformer_in: TransformerTemporalModel(num_attention_heads=8,
+        # attention_head_dim=<HF head-count value>) — 8 heads whose dim is
+        # the head-count value (models/unet_i2vgen.py)
+        "transformer_in": _temporal_transformer(
+            sd, "transformer_in", 8, num_attention_heads or attention_head_dim),
         "time_embedding": _timestep_embedding(sd, "time_embedding"),
         # fps_embedding is Sequential(Linear, SiLU, Linear)
         "fps_embedding": {
@@ -388,44 +461,55 @@ def convert_unet_i2vgen(sd: Mapping[str, np.ndarray],
         "conv_norm_out": t_norm(sd, "conv_norm_out"),
         "conv_out": t_conv(sd, "conv_out"),
     }
-    # image_latents_temporal_encoder: norm1, attn1, gelu ff
+    # image_latents_temporal_encoder: norm1, attn1, gelu ff — 2 heads of
+    # dim = latent channels (always unaligned -> padded storage)
     te = "image_latents_temporal_encoder"
+    lat_ch = int(np.asarray(sd["image_latents_proj_in.4.weight"]).shape[0])
     p["image_latents_temporal_encoder"] = {
         "norm1": _layernorm(sd, f"{te}.norm1"),
-        "attn1": {
+        "attn1": pad_attention_heads({
             "to_q": t_linear(sd, f"{te}.attn1.to_q"),
             "to_k": t_linear(sd, f"{te}.attn1.to_k"),
             "to_v": t_linear(sd, f"{te}.attn1.to_v"),
             "to_out": t_linear_zero_bias(sd, f"{te}.attn1.to_out.0"),
-        },
+        }, heads=2, head_dim=lat_ch),
         "ff": _ff(sd, f"{te}.ff"),
     }
     for i in range(n):
         is_cross = i < n - 1
+        heads, hd = _hd(block_out_channels[i])
         base = f"down_blocks.{i}"
         for j in range(layers_per_block):
             p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
             p[f"down_{i}_tempconv_{j}"] = _temp_conv(sd, f"{base}.temp_convs.{j}")
             if is_cross:
-                p[f"down_{i}_attn_{j}"] = _spatial_transformer(sd, f"{base}.attentions.{j}")
-                p[f"down_{i}_tempattn_{j}"] = _temporal_transformer(sd, f"{base}.temp_attentions.{j}")
+                p[f"down_{i}_attn_{j}"] = _spatial_transformer(
+                    sd, f"{base}.attentions.{j}", heads, hd)
+                p[f"down_{i}_tempattn_{j}"] = _temporal_transformer(
+                    sd, f"{base}.temp_attentions.{j}", heads, hd)
         if i < n - 1:
             p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
+    heads, hd = _hd(block_out_channels[-1])
     p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
     p["mid_tempconv_0"] = _temp_conv(sd, "mid_block.temp_convs.0")
-    p["mid_attn"] = _spatial_transformer(sd, "mid_block.attentions.0")
-    p["mid_tempattn"] = _temporal_transformer(sd, "mid_block.temp_attentions.0")
+    p["mid_attn"] = _spatial_transformer(sd, "mid_block.attentions.0", heads, hd)
+    p["mid_tempattn"] = _temporal_transformer(sd, "mid_block.temp_attentions.0",
+                                              heads, hd)
     p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
     p["mid_tempconv_1"] = _temp_conv(sd, "mid_block.temp_convs.1")
+    rev = tuple(reversed(block_out_channels))
     for i in range(n):
         is_cross = i > 0
+        heads, hd = _hd(rev[i])
         base = f"up_blocks.{i}"
         for j in range(layers_per_block + 1):
             p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
             p[f"up_{i}_tempconv_{j}"] = _temp_conv(sd, f"{base}.temp_convs.{j}")
             if is_cross:
-                p[f"up_{i}_attn_{j}"] = _spatial_transformer(sd, f"{base}.attentions.{j}")
-                p[f"up_{i}_tempattn_{j}"] = _temporal_transformer(sd, f"{base}.temp_attentions.{j}")
+                p[f"up_{i}_attn_{j}"] = _spatial_transformer(
+                    sd, f"{base}.attentions.{j}", heads, hd)
+                p[f"up_{i}_tempattn_{j}"] = _temporal_transformer(
+                    sd, f"{base}.temp_attentions.{j}", heads, hd)
         if i < n - 1:
             p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
     return {"params": p}
@@ -937,7 +1021,8 @@ def convert_i2vgen_pipeline_dir(src: str) -> Tuple[Dict[str, Any], Dict[str, Any
     lpb = int(unet_cfg.get("layers_per_block", 2))
     params = {
         "unet": convert_unet_i2vgen(load_folder_state_dict(_os.path.join(src, "unet")),
-                                    block_out_channels=boc, layers_per_block=lpb),
+                                    block_out_channels=boc, layers_per_block=lpb,
+                                    num_attention_heads=heads),
         "vae": _convert_vae_dir(_os.path.join(src, "vae")),
         "text": {"params": convert_clip_text(
             load_folder_state_dict(_os.path.join(src, "text_encoder")),

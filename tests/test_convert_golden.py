@@ -649,7 +649,8 @@ def test_i2vgen_unet_structural_conversion():
     torch.manual_seed(7)
     skel = Skeleton()
     converted = C.convert_unet_i2vgen(sd_np(skel), block_out_channels=ch,
-                                      layers_per_block=1)
+                                      layers_per_block=1,
+                                      attention_head_dim=4)
 
     cfg = I2VGenUNetConfig(block_out_channels=ch, layers_per_block=1,
                            cross_attention_dim=ctx_dim, attention_head_dim=4,

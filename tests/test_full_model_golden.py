@@ -254,7 +254,8 @@ def test_i2vgen_full_unet_forward_golden():
                     image_latents, image_emb)
 
     converted = C.convert_unet_i2vgen(sd_np(skel), block_out_channels=ch,
-                                      layers_per_block=1)
+                                      layers_per_block=1,
+                                      num_attention_heads=2)
     cfg = I2VGenUNetConfig(block_out_channels=ch, layers_per_block=1,
                            cross_attention_dim=16, attention_head_dim=4,
                            num_attention_heads=2, norm_num_groups=4,

@@ -219,3 +219,71 @@ def test_strided_frames_bias_matches_xla():
     ).reshape(b, hw, s, c).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# G-head lane-window packing (checkpoint-true heads=64 at padded dh 8/16/32)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "b,s,heads,d",
+    [
+        (4, 16, 64, 8),    # i2vgen L0 temporal (dh 5 stored as 8): G=16
+        (3, 16, 64, 16),   # L1 (dh 10 -> 16): G=8
+        (2, 16, 64, 32),   # L2/L3 (dh 20 -> 32): G=4
+        (2, 16, 32, 8),    # 2 windows at G=16
+        (2, 17, 64, 8),    # padded seq through the windowed path
+    ],
+)
+def test_window_packed_matches_xla(b, s, heads, d):
+    """Wide-head-count narrow splits run G = 128/dh heads per lane window
+    via a fori_loop with iota masks (no narrow Mosaic slices)."""
+    rng = np.random.RandomState(11)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=heads, scale=0.41)
+    ref = _ref(q, k, v, heads, scale=0.41)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_window_packed_with_per_head_bias():
+    """Per-head bias indexing stays correct when several heads share a lane
+    window (mask_ref[h] with a traced in-window head index)."""
+    rng = np.random.RandomState(12)
+    b, s, heads, d = 3, 16, 32, 8
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    bias = jnp.asarray(rng.randn(heads, s, s), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=heads, bias=bias)
+    qh = q.reshape(b, s, heads, d)
+    ref = jax.nn.dot_product_attention(
+        qh, k.reshape(b, s, heads, d), v.reshape(b, s, heads, d),
+        bias=bias[None], implementation="xla").reshape(b, s, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_window_packed_frames_variant():
+    from anyv2v_tpu.ops.pallas_short_attention import short_attention_frames
+
+    rng = np.random.RandomState(13)
+    b, s, hw, heads, d = 1, 16, 32, 64, 8
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, hw, c), jnp.float32)
+    out = short_attention_frames(q, k, v, heads=heads, scale=5.0 ** -0.5)
+
+    def t(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * hw, s, c)
+
+    ref = _ref(t(q), t(k), t(v), heads, scale=5.0 ** -0.5).reshape(
+        b, hw, s, c).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
