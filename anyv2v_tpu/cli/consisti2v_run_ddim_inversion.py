@@ -70,10 +70,12 @@ def main(argv=None):
 
     latents = pipe.encode_video(jnp.asarray(frames01))
     text = encode_prompt(pipe, tokenizer, inv.get("prompt", ""))
+    chunk = inv.get("chunk_steps", None)  # scan-dispatch segment length
     traj, inv_ts = pipe.invert(
         latents, text,
         num_inversion_steps=int(inv.n_steps),
         frame_stride=int(inv.get("frame_stride", 3)),
+        chunk_steps=int(chunk) if chunk is not None else None,
     )
     vio.save_ddim_trajectory(inv.output_dir, np.asarray(traj), inv_ts)
     logger.info("saved %d-step trajectory to %s", len(inv_ts), inv.output_dir)

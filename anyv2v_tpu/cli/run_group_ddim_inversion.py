@@ -57,9 +57,11 @@ def ddim_inversion(pipe, tokenizer, cfg, frames):
     )
     img_emb = encode_clip_image(pipe, first_frame, int(cfg.image_size[0]))
 
+    chunk = inv.get("chunk_steps", None)  # scan-dispatch segment length
     traj, inv_ts = pipe.invert(
         latents, text, img_lat, img_emb,
         num_inversion_steps=int(inv.n_steps), fps=int(inv.get("target_fps", 8)),
+        chunk_steps=int(chunk) if chunk is not None else None,
     )
     vio.save_ddim_trajectory(inv.output_dir, np.asarray(traj), inv_ts)
     logger.info("saved %d-step trajectory to %s", len(inv_ts), inv.output_dir)

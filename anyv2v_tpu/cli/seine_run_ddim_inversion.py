@@ -84,10 +84,12 @@ def main(argv=None):
     prompt = cfg.get("inversion_prompt", "")
     text = encode_prompt(pipe, tokenizer, prompt)
 
+    chunk = cfg.get("chunk_steps", None)  # scan-dispatch segment length
     traj, traj_ts = pipe.invert(
         latents, mask, masked, text,
         num_inversion_steps=int(cfg.n_steps),
         num_save_steps=int(cfg.get("n_save_steps", 250)),
+        chunk_steps=int(chunk) if chunk is not None else None,
     )
     out_dir = cfg.output_dir
     vio.save_ddim_trajectory(out_dir, np.asarray(traj), traj_ts)

@@ -48,20 +48,14 @@ def injection_step_mask(
     (``pnp_utils.py:109``) — t never equals 1000 on the standard grids, so
     the special case is preserved by construction.
 
-    ``timesteps``: the (possibly truncated, ``timesteps[t_idx:]``) grid the
-    editing loop actually runs. The mask is aligned to the full grid first and
-    then gathered at the provided timesteps, matching the reference where the
-    injection schedule is a set of timestep *values*.
+    Contract: ``timesteps`` is the FULL (untruncated) descending sampling
+    grid — the schedule is its first ``int(num_inference_steps * threshold)``
+    entries, exactly the reference's ``scheduler.timesteps[:k]`` slice.
+    Callers running a truncated loop (``timesteps[t_idx:]``) slice the
+    returned mask with the same ``[t_idx:]``.
     """
     timesteps = np.asarray(timesteps)
     n_inject = int(num_inference_steps * threshold)
-    # full grid values that get injection: the first n_inject entries of the
-    # untruncated descending grid. Since truncation only removes leading
-    # entries, membership can be evaluated per value.
-    # The reference builds: scheduler.timesteps[:n_inject] on the full grid.
-    # We reconstruct the full grid from the spacing of `timesteps` is fragile;
-    # instead callers pass the full grid. Kept simple: this helper expects the
-    # FULL grid and callers slice the result with [t_idx:].
     mask = np.zeros(len(timesteps), dtype=bool)
     mask[:n_inject] = True
     mask |= timesteps == 1000

@@ -15,17 +15,31 @@ import jax.numpy as jnp
 from ..models.vae import sample_from_moments
 
 
-def resolve_chunk_steps(requested: int) -> int:
+DEFAULT_CHUNK_STEPS = 25
+
+
+def resolve_chunk_steps(requested: int | None = None) -> int:
     """Scan-dispatch segment length for the long inversion scans.
 
     Each segment is one device execution; the remote-TPU transport enforces a
     per-execution wall-clock limit (a 125-step segment at the checkpoint-true
-    heads=64 step cost ~0.9 s/step exceeds it and kills the worker, measured
-    round 5). The default 25 keeps every architecture's segment well under
-    the limit; ``ANYV2V_SCAN_CHUNK`` overrides for fast archs or real
-    hardware without the transport limit."""
-    env = os.environ.get("ANYV2V_SCAN_CHUNK")
-    return int(env) if env else requested
+    heads=64 step cost exceeds it and kills the worker, measured round 5).
+    The default 25 keeps every architecture's segment well under the limit.
+
+    Precedence: an EXPLICIT ``requested`` value (pipeline arg / CLI
+    ``chunk_steps`` config field) always wins; ``ANYV2V_SCAN_CHUNK`` only
+    fills in when the caller passed None (ADVICE r2: the env var must not
+    silently override an argument a test passed on purpose)."""
+    if requested is not None:
+        return max(1, int(requested))
+    env = os.environ.get("ANYV2V_SCAN_CHUNK", "").strip()
+    if not env:
+        return DEFAULT_CHUNK_STEPS
+    try:
+        return max(1, int(env))
+    except ValueError as e:
+        raise ValueError(
+            f"ANYV2V_SCAN_CHUNK must be an integer, got {env!r}") from e
 
 
 class ShardingMixin:

@@ -129,7 +129,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
         text_embeds: jax.Array,     # [1, S, D]
         num_inversion_steps: int = 500,
         frame_stride: int = 3,
-        chunk_steps: int = 25,
+        chunk_steps: Optional[int] = None,
     ):
         """cfg_txt = cfg_img = 1.0 inversion (reference
         ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``). Dispatched in

@@ -152,7 +152,7 @@ class I2VGenPipeline(LatentCodecMixin):
         image_embeds: jax.Array,      # [1, 1, D]
         num_inversion_steps: int = 500,
         fps: int = 8,
-        chunk_steps: int = 25,
+        chunk_steps: Optional[int] = None,
         num_save_steps: Optional[int] = None,
     ):
         """Returns (trajectory [n, 1, F, h, w, 4], ascending timesteps [n]).

@@ -135,7 +135,7 @@ class SeinePipeline(LatentCodecMixin):
         text_embeds: jax.Array,
         num_inversion_steps: int = 500,
         num_save_steps: int = 250,
-        chunk_steps: int = 25,
+        chunk_steps: Optional[int] = None,
     ):
         """Returns (trajectory at the save grid, its timesteps) — the
         reference persists only the 250-step toy-scheduler sub-grid

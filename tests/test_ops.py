@@ -161,3 +161,45 @@ def test_low_pass_filters():
     assert g.argmax() == np.ravel_multi_index((4, 8, 8), g.shape)
     i = ideal_low_pass_filter((8, 16, 16))
     assert set(np.unique(i)) <= {0.0, 1.0}
+
+
+def test_injection_step_mask_t1000_membership():
+    """The reference always injects at t == 1000 (``pnp_utils.py:109``):
+    on a grid that CONTAINS 1000 (trailing-spacing style grids) the mask is
+    set there even when the threshold schedule does not reach it."""
+    grid = np.array([1000, 800, 600, 400, 200, 0])
+    mask = injection_step_mask(grid, threshold=0.0, num_inference_steps=6)
+    assert mask[0] and not mask[1:].any()
+    # and the standard leading-spacing grid (981, 961, ...) has no 1000 entry
+    std = np.arange(981, -1, -20)
+    assert not (std == 1000).any()
+    assert not injection_step_mask(std, 0.0, 50).any()
+
+
+def test_resolve_chunk_steps_env_and_precedence(monkeypatch):
+    """ADVICE r2: explicit arg wins over ANYV2V_SCAN_CHUNK; env fills in only
+    for None; empty/invalid env values are handled loudly."""
+    from anyv2v_tpu.pipelines.common import DEFAULT_CHUNK_STEPS, resolve_chunk_steps
+
+    monkeypatch.delenv("ANYV2V_SCAN_CHUNK", raising=False)
+    assert resolve_chunk_steps(None) == DEFAULT_CHUNK_STEPS
+    assert resolve_chunk_steps(40) == 40
+
+    monkeypatch.setenv("ANYV2V_SCAN_CHUNK", "125")
+    assert resolve_chunk_steps(None) == 125
+    assert resolve_chunk_steps(40) == 40   # explicit arg still wins
+
+    monkeypatch.setenv("ANYV2V_SCAN_CHUNK", "")
+    assert resolve_chunk_steps(None) == DEFAULT_CHUNK_STEPS
+
+    monkeypatch.setenv("ANYV2V_SCAN_CHUNK", "0")
+    assert resolve_chunk_steps(None) == 1   # clamped, not range(..., 0)
+
+    monkeypatch.setenv("ANYV2V_SCAN_CHUNK", "-3")
+    assert resolve_chunk_steps(None) == 1
+
+    monkeypatch.setenv("ANYV2V_SCAN_CHUNK", "fast")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ANYV2V_SCAN_CHUNK"):
+        resolve_chunk_steps(None)
