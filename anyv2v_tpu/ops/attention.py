@@ -89,22 +89,29 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
     if jax.default_backend() != "tpu" or mask is not None:
         return "xla"
     if (
-        sq == sk
+        (sq == sk or 0 < sk - sq <= 16)
         and sq <= 128
+        and sk <= 128
         and (bias is None or _shared_head_bias(bias))
         and head_dim % 8 == 0
-        and head_dim <= 128
+        and (head_dim <= 128 or (head_dim <= 256 and heads <= 16))
         and (head_dim == 64 or heads <= 16 or _window_packable(heads, head_dim))
     ):
-        # short self-attention (temporal layers: seq = n_frames): the packed
-        # block-diagonal kernel — XLA materializes fp32 [rows, H, S, S]
-        # scores through 5+ HBM round-trips here (~78 ms of a 247 ms UNet
-        # forward at 16f 512^2, measured; PERF.md round 3). A batch-shared
-        # per-head bias (SEINE's T5 rel-pos bias) folds into the kernel's
-        # precomputed mask. The heads gate bounds the kernel's per-head
-        # unrolled narrow-slice loops: heads=64 checkpoint-true splits hang
-        # Mosaic (measured: b=48 s=64 h=64 d=24 never finishes compiling),
-        # while the pairwise d=64 path and few-head temporal splits are fine.
+        # short (self or near-self) attention (temporal layers: seq =
+        # n_frames): the packed block-diagonal kernel — XLA materializes
+        # fp32 [rows, H, S, S] scores through 5+ HBM round-trips here
+        # (~78 ms of a 247 ms UNet forward at 16f 512^2, measured; PERF.md
+        # round 3). sk - sq <= 16 admits ConsistI2V's augmented temporal
+        # attention (sk = t + 8 first-frame-neighborhood keys,
+        # ref videoldm_transformer_blocks.py:490-504) without catching text
+        # cross-attention. head_dim <= 256 at heads <= 16 admits VideoLDM's
+        # C=1280 temporal split (heads=8, dh=160) through the per-head tail
+        # loop. A batch-shared per-head bias (SEINE's T5 rel-pos bias) folds
+        # into the kernel's precomputed mask. The heads gate bounds the
+        # kernel's per-head unrolled narrow-slice loops: heads=64
+        # checkpoint-true splits only enter via whole 128-lane windows
+        # (_window_packable); non-packable many-head splits hang Mosaic
+        # (measured: b=48 s=64 h=64 d=24 never finishes compiling).
         return "pallas_short"
     if (bias is None and head_dim < 64 and _window_packable(heads, head_dim)
             and sq >= 256 and sk <= 8192 and batch * sq >= 16384):

@@ -62,6 +62,63 @@ def packed_is_supported(heads: int, head_dim: int, sk: int) -> bool:
     )
 
 
+def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         dh: int, kv_valid: int):
+    """One (batch, window, q-block) program with the WHOLE K/V window
+    resident and per-q-block scores in VMEM — no online-softmax state.
+
+    At this framework's shapes (sk <= 4096) the [block_q, Sk] fp32 score
+    buffer fits VMEM, so the online rescaling of :func:`_packed_kernel` is
+    pure overhead: its per-head lane-replicated (m, l, acc) updates are
+    ~6 VPU ops on [block_q, 128] per head per k-block — measured ~40% of the
+    kernel at L0 (82.5 ms vs the 44.7 ms 128-lane MXU floor). This variant
+    also masks **Q** per head instead of K: a [block_q, 128] select instead
+    of [block_k, 128], Sk/block_q times cheaper, with the same cancellation
+    (zeroed q lanes kill the other heads' k contributions in the full-depth
+    contraction). The PV matmul runs unmasked at full width; lanes outside
+    the active head carry garbage and die in the per-head output select.
+    """
+    # softmax scale folded into q once ([bq, 128] fp32 — 1/Sk the cost of
+    # scaling scores); the unnormalized-p PV output divides by l at [bq, 128]
+    # instead of dividing p at [bq, Sk]. Both cut per-score VPU ops, which
+    # dominate once the online state is gone.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    k = k_ref[0]                       # [sk_pad, 128]
+    v = v_ref[0]
+    block_q = q.shape[0]
+    sk_pad = k.shape[0]
+    g_heads = 128 // dh
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (block_q, 128), 1)
+    pad_tail = sk_pad > kv_valid
+    if pad_tail:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 1)
+
+    def body(g, acc):
+        lo = g * dh
+        sel = (lane_q >= lo) & (lane_q < lo + dh)
+        qg = jnp.where(sel, q, jnp.zeros_like(q))
+        s = jax.lax.dot_general(
+            qg, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )                                            # [bq, sk_pad] fp32
+        if pad_tail:
+            s = jnp.where(col < kv_valid, s, -1e30)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) / l                                        # [bq, 128]
+        return jnp.where(sel, pv, acc)
+
+    acc = jax.lax.fori_loop(0, g_heads, body,
+                            jnp.zeros((block_q, 128), jnp.float32))
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
                    block_k: int, kv_len: int, kv_valid: int):
     """One (batch, window, q-block) program.
@@ -125,6 +182,39 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("scale", "dh", "block_q", "kv_valid", "interpret"),
+)
+def _packed_call_whole(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
+    """Whole-K/V variant: q [B, Sq_pad, C]; k/v [B, Sk_pad, C]."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    n_win = c // 128
+    grid = (b, n_win, sq // block_q)
+    q_spec = pl.BlockSpec((1, block_q, 128), lambda b_, w, i: (b_, i, w),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, sk, 128), lambda b_, w, i: (b_, 0, w),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(_packed_whole_kernel, scale=scale, dh=dh,
+                               kv_valid=kv_valid)
+    g_heads = 128 // dh
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, sq, c), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * g_heads * n_win * sq * sk * 128,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * q.dtype.itemsize,
+            transcendentals=b * g_heads * n_win * sq * sk,
+        ),
+    )(q, k, v)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("scale", "dh", "block_q", "block_k", "kv_valid",
                      "interpret"),
 )
@@ -182,21 +272,38 @@ def packed_flash_attention(
     if scale is None:
         scale = 1.0 / float(np.sqrt(dh))
 
-    block_q = min(256, _ceil_to(sq, 128))
-    block_k = min(512, _ceil_to(sk, 128))
-    sq_p = _ceil_to(sq, block_q)
-    sk_p = _ceil_to(sk, block_k)
-
     def pad_seq(x, s_pad):
         if s_pad != x.shape[1]:
             x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
         return x
 
+    interpret = jax.default_backend() != "tpu"
+
+    # Whole-K/V variant whenever the per-window [Sk_pad, 128] K/V pair plus
+    # the [block_q, Sk_pad] fp32 score buffer fit VMEM (every shape this
+    # model produces: sk <= 4096): no online-softmax state, Q-side head
+    # masking — measured the online kernel at ~29% slower at L0 (81 vs
+    # 64 ms) and 41% at sk=157 cross (15.7 vs 11.1 ms). block_q scales
+    # inversely with Sk_pad to hold the score buffer near 4 MB (bq 512 at
+    # sk 4096 exceeds the 16 MB VMEM stack limit, measured 17.06M).
+    sk_whole = _ceil_to(sk, 128)
+    if sk_whole <= 4096:
+        block_q = min(2048, max(256, (256 * 4096) // sk_whole // 128 * 128))
+        block_q = min(block_q, _ceil_to(sq, 128))
+        sq_p = _ceil_to(sq, block_q)
+        out = _packed_call_whole(pad_seq(q, sq_p), pad_seq(k, sk_whole),
+                                 pad_seq(v, sk_whole),
+                                 scale=float(scale), dh=dh, block_q=block_q,
+                                 kv_valid=sk, interpret=interpret)
+        return out[:, :sq]
+
+    block_q = min(256, _ceil_to(sq, 128))
+    sq_p = _ceil_to(sq, block_q)
     qf = pad_seq(q, sq_p)
+    block_k = min(512, _ceil_to(sk, 128))
+    sk_p = _ceil_to(sk, block_k)
     kf = pad_seq(k, sk_p)
     vf = pad_seq(v, sk_p)
-
-    interpret = jax.default_backend() != "tpu"
     out = _packed_call(qf, kf, vf, scale=float(scale), dh=dh,
                        block_q=block_q, block_k=block_k, kv_valid=sk,
                        interpret=interpret)

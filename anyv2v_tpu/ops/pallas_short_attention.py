@@ -103,11 +103,15 @@ def _solve_window(q, k, v, mask_h, n_masks, g_win, head_win, head_dim,
 
 
 def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
-                  head_dim: int, scale: float, tile: int):
-    """One program: [R, C] rows (R = rows_block, C = heads*head_dim), looping
-    R/tile row sub-tiles; each sub-tile's heads are solved in VMEM.
+                  head_dim: int, scale: float, tile_q: int, tile_k: int):
+    """One program: [Rq, C] query rows against [Rk, C] key/value rows
+    (C = heads*head_dim), looping matching (tile_q, tile_k) row sub-tiles;
+    each sub-tile's heads are solved in VMEM. tile_q == tile_k for packed
+    self-attention; tile_k > tile_q for the rectangular augmented-window
+    shapes (ConsistI2V first-frame keys: sk = sq + 8,
+    ref ``consisti2v/models/videoldm_transformer_blocks.py:490-504``).
 
-    ``mask_ref`` is [n_masks, tile, tile]: n_masks == 1 for the plain
+    ``mask_ref`` is [n_masks, tile_q, tile_k]: n_masks == 1 for the plain
     block-diagonal mask, n_masks == heads when a per-head additive bias
     (SEINE's T5 relative-position bias, ref ``seine/models/attention.py:894``)
     is folded into the mask — the bias is query/key-position-only, so it
@@ -116,7 +120,9 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     Heads are processed G = 128/head_dim at a time on 128-lane windows via
     lane-masked K (see :func:`_solve_window`); heads that don't fill a whole
     window fall to the narrow per-head tail loop (few-head splits only —
-    routing never sends many-head non-dividing splits here)."""
+    routing never sends many-head non-dividing splits here). The tail loop
+    also serves WIDE heads (head_dim up to 256, VideoLDM's C=1280 temporal
+    attention at dh=160): the dot contracts the full per-head lane span."""
     rows = q_ref.shape[0]
     n_masks = mask_ref.shape[0]
 
@@ -125,62 +131,72 @@ def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
 
     g_win = _window_heads(heads, head_dim)
     n_win = heads // g_win if g_win else 0
-    for r0 in range(0, rows, tile):
+    for i in range(rows // tile_q):
+        r0, s0 = i * tile_q, i * tile_k
         for w_i in range(n_win):
             c0 = w_i * 128
-            q = q_ref[r0:r0 + tile, c0:c0 + 128]
-            k = k_ref[r0:r0 + tile, c0:c0 + 128]
-            v = v_ref[r0:r0 + tile, c0:c0 + 128]
-            o_ref[r0:r0 + tile, c0:c0 + 128] = _solve_window(
+            q = q_ref[r0:r0 + tile_q, c0:c0 + 128]
+            k = k_ref[s0:s0 + tile_k, c0:c0 + 128]
+            v = v_ref[s0:s0 + tile_k, c0:c0 + 128]
+            o_ref[r0:r0 + tile_q, c0:c0 + 128] = _solve_window(
                 q, k, v, mask_h, n_masks, g_win, w_i * g_win, head_dim,
                 scale, o_ref.dtype)
         for h in range(n_win * g_win if g_win else 0, heads):
             c0 = h * head_dim
-            q = q_ref[r0:r0 + tile, c0:c0 + head_dim]
-            k = k_ref[r0:r0 + tile, c0:c0 + head_dim]
-            v = v_ref[r0:r0 + tile, c0:c0 + head_dim]
-            o_ref[r0:r0 + tile, c0:c0 + head_dim] = _masked_softmax_attn(
+            q = q_ref[r0:r0 + tile_q, c0:c0 + head_dim]
+            k = k_ref[s0:s0 + tile_k, c0:c0 + head_dim]
+            v = v_ref[s0:s0 + tile_k, c0:c0 + head_dim]
+            o_ref[r0:r0 + tile_q, c0:c0 + head_dim] = _masked_softmax_attn(
                 q, k, v, mask_h(h), scale, o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "head_dim", "scale", "tile", "rows_block",
-                     "interpret"),
+    static_argnames=("heads", "head_dim", "scale", "tile_q", "tile_k",
+                     "n_tiles", "interpret"),
 )
-def _short_packed(q, k, v, mask, *, heads, head_dim, scale, tile, rows_block,
-                  interpret):
-    """q,k,v: [N, C] packed rows (N divisible by rows_block; sequences are
-    contiguous row runs of S_pad, G = tile // S_pad of them per tile)."""
-    n, c = q.shape
-    grid = (n // rows_block,)
-    spec = pl.BlockSpec((rows_block, c), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
+def _short_packed(q, k, v, mask, *, heads, head_dim, scale, tile_q, tile_k,
+                  n_tiles, interpret):
+    """q: [Nq, C]; k,v: [Nk, C] packed rows (sequences are contiguous row
+    runs of sq_pad / sk_pad; G = tile_q // sq_pad of them per tile; blocks
+    hold n_tiles tiles)."""
+    nq, c = q.shape
+    rows_q = n_tiles * tile_q
+    rows_k = n_tiles * tile_k
+    grid = (nq // rows_q,)
+    q_spec = pl.BlockSpec((rows_q, c), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((rows_k, c), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec(mask.shape, lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_short_kernel, heads=heads, head_dim=head_dim,
-                               scale=scale, tile=tile)
+                               scale=scale, tile_q=tile_q, tile_k=tile_k)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, c), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((nq, c), q.dtype),
         grid=grid,
-        in_specs=[spec, spec, spec, mask_spec],
-        out_specs=spec,
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+        out_specs=q_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n * tile * c,
-            bytes_accessed=3 * n * c * q.dtype.itemsize + 4 * n * c,
-            transcendentals=n * tile,
+            flops=2 * 2 * nq * tile_k * c,
+            bytes_accessed=(2 * nq + 2 * k.shape[0]) * c * q.dtype.itemsize
+            + 2 * nq * c,
+            transcendentals=nq * tile_k,
         ),
     )(q, k, v, mask)
 
 
-def _block_diag_mask(tile: int, s_pad: int, s_valid: int) -> np.ndarray:
-    """[tile, tile] additive fp32 mask: row r may attend key c iff they belong
-    to the same packed sequence and c is a valid (non-padded) position."""
-    r = np.arange(tile)
-    same_seq = (r[:, None] // s_pad) == (r[None, :] // s_pad)
-    valid_key = (r[None, :] % s_pad) < s_valid
+def _block_diag_mask(s_pad_q: int, s_pad_k: int, g: int,
+                     s_valid: int) -> np.ndarray:
+    """[g*s_pad_q, g*s_pad_k] additive fp32 mask: query row r may attend key
+    c iff they belong to the same packed sequence and c is a valid
+    (non-padded) key position."""
+    r = np.arange(g * s_pad_q)
+    ck = np.arange(g * s_pad_k)
+    same_seq = (r[:, None] // s_pad_q) == (ck[None, :] // s_pad_k)
+    valid_key = (ck[None, :] % s_pad_k) < s_valid
     return np.where(same_seq & valid_key, 0.0, -1e30).astype(np.float32)
 
 
@@ -316,56 +332,67 @@ def short_attention_frames(
 
 
 def short_attention_bsc(
-    q: jax.Array,    # [B, S, C]  (C = heads * head_dim)
-    k: jax.Array,    # [B, S, C]
-    v: jax.Array,    # [B, S, C]
+    q: jax.Array,    # [B, Sq, C]  (C = heads * head_dim)
+    k: jax.Array,    # [B, Sk, C]  (Sk == Sq, or Sq < Sk <= 128: augmented keys)
+    v: jax.Array,    # [B, Sk, C]
     heads: int,
     scale: float | None = None,
-    bias: jax.Array | None = None,   # [heads, S, S] (shared across B)
+    bias: jax.Array | None = None,   # [heads, Sq, Sk] (shared across B)
 ) -> jax.Array:
-    """Fused self-attention over a short sequence axis (S <= 128), batched
-    over B rows, heads packed in the channel dim. ``bias`` is a per-head
-    additive score bias shared by every batch row (SEINE's T5 rel-pos bias,
-    ref ``seine/models/attention.py:894-898``): it is position-only, so it
-    tiles across the packed diagonal blocks into the precomputed mask.
-    Returns [B, S, C]."""
-    b, s, c = q.shape
+    """Fused attention over short sequences (Sq, Sk <= 128), batched over B
+    rows, heads packed in the channel dim. Sk may exceed Sq (per-row extra
+    keys — ConsistI2V's augmented temporal attention attends t frames plus
+    the first frame's 8-neighborhood, sk = t + 8,
+    ref ``videoldm_transformer_blocks.py:490-504``); queries and keys pack
+    into proportional row runs and the rectangular block-diagonal mask pairs
+    them. ``bias`` is a per-head additive score bias shared by every batch
+    row (SEINE's T5 rel-pos bias, ref ``seine/models/attention.py:894-898``):
+    it is position-only, so it tiles across the packed diagonal blocks into
+    the precomputed mask. Returns [B, Sq, C]."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
     head_dim = c // heads
     if scale is None:
         scale = 1.0 / float(np.sqrt(head_dim))
 
-    s_pad = _ceil_to(s, 8)
-    g = max(1, 128 // s_pad)          # sequences per MXU tile
-    tile = g * s_pad                  # 128 when s_pad divides 128
+    sq_pad = _ceil_to(sq, 8)
+    sk_pad = _ceil_to(sk, 8)
+    g = max(1, 128 // sq_pad)         # sequences per MXU tile
+    tile_q = g * sq_pad               # 128 when sq_pad divides 128
+    tile_k = g * sk_pad
 
-    def pack(x):
+    def pack(x, s, s_pad):
         if s_pad != s:
             x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
         return x.reshape(b * s_pad, c)
 
-    qf, kf, vf = pack(q), pack(k), pack(v)
+    qf = pack(q, sq, sq_pad)
+    kf = pack(k, sk, sk_pad)
+    vf = pack(v, sk, sk_pad)
 
-    # rows per program: a few tiles to amortize grid overhead, bounded so the
-    # 4 double-buffered [rows_block, C] bf16 tiles stay well inside VMEM
-    rows_block = tile
-    while (rows_block * 2 <= 1024
-           and rows_block * 2 * c <= 512 * 1024
-           and (b * s_pad) % (rows_block * 2) == 0):
-        rows_block *= 2
-    n_pad = _ceil_to(b * s_pad, rows_block)
-    if n_pad != b * s_pad:
-        qf = jnp.pad(qf, ((0, n_pad - b * s_pad), (0, 0)))
-        kf = jnp.pad(kf, ((0, n_pad - b * s_pad), (0, 0)))
-        vf = jnp.pad(vf, ((0, n_pad - b * s_pad), (0, 0)))
+    # tiles per program: a few to amortize grid overhead, bounded so the
+    # double-buffered bf16 blocks (q + out at tile_q rows, k + v at tile_k
+    # rows) stay well inside VMEM
+    n_tiles = 1
+    while (n_tiles * 2 * tile_q <= 1024
+           and n_tiles * 2 * (tile_q + tile_k) * c <= 1024 * 1024
+           and (b % (n_tiles * 2 * g)) == 0):
+        n_tiles *= 2
+    seqs_block = n_tiles * g
+    b_pad = _ceil_to(b, seqs_block)
+    if b_pad != b:
+        qf = jnp.pad(qf, ((0, (b_pad - b) * sq_pad), (0, 0)))
+        kf = jnp.pad(kf, ((0, (b_pad - b) * sk_pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, (b_pad - b) * sk_pad), (0, 0)))
 
-    mask = jnp.asarray(_block_diag_mask(tile, s_pad, s))[None]  # [1, t, t]
+    mask = jnp.asarray(_block_diag_mask(sq_pad, sk_pad, g, sk))[None]
     if bias is not None:
         bp = jnp.pad(bias.astype(jnp.float32),
-                     ((0, 0), (0, s_pad - s), (0, s_pad - s)))
-        mask = mask + jnp.tile(bp, (1, g, g))  # [heads, tile, tile]
+                     ((0, 0), (0, sq_pad - sq), (0, sk_pad - sk)))
+        mask = mask + jnp.tile(bp, (1, g, g))  # [heads, tile_q, tile_k]
     interpret = jax.default_backend() != "tpu"
     out = _short_packed(qf, kf, vf, mask, heads=heads, head_dim=head_dim,
-                        scale=float(scale), tile=tile, rows_block=rows_block,
-                        interpret=interpret)
-    out = out[: b * s_pad].reshape(b, s_pad, c)
-    return out[:, :s]
+                        scale=float(scale), tile_q=tile_q, tile_k=tile_k,
+                        n_tiles=n_tiles, interpret=interpret)
+    out = out[: b * sq_pad].reshape(b, sq_pad, c)
+    return out[:, :sq]

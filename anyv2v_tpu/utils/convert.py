@@ -414,6 +414,16 @@ def resolve_i2vgen_heads(hf_config: Mapping) -> int:
                or hf_config.get("attention_head_dim", 64))
 
 
+def _head_count_from(hf_config: Mapping):
+    """2D-UNet head rule (same diffusers misnaming as resolve_i2vgen_heads):
+    num_attention_heads falls back to attention_head_dim, and the value is
+    the head COUNT — an int (SD1.5 ip2p: 8) or a per-level list (SDXL:
+    [5, 10, 20]). Returns int or tuple for SDUNetConfig.num_attention_heads."""
+    v = (hf_config.get("num_attention_heads")
+         or hf_config.get("attention_head_dim", 8))
+    return tuple(v) if isinstance(v, (list, tuple)) else int(v)
+
+
 def convert_unet_i2vgen(sd: Mapping[str, np.ndarray],
                         block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280),
                         layers_per_block: int = 2,
@@ -768,15 +778,20 @@ def assert_params_match(expected_tree, converted_tree) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _spatial_transformer_deep(sd, p: str, depth: int) -> Tree:
-    """Transformer2DModel with `depth` transformer blocks (SDXL: 2/10)."""
+def _spatial_transformer_deep(sd, p: str, depth: int,
+                              heads: int | None = None,
+                              head_dim: int | None = None) -> Tree:
+    """Transformer2DModel with `depth` transformer blocks (SDXL: 2/10).
+    ``heads``/``head_dim`` trigger padded-head storage (pad_attention_heads)
+    for sublane-unaligned splits."""
     out = {
         "norm": t_norm(sd, f"{p}.norm"),
         "proj_in": t_proj_1x1(sd, f"{p}.proj_in", as_conv=True),
         "proj_out": t_proj_1x1(sd, f"{p}.proj_out", as_conv=True),
     }
     for k in range(depth):
-        out[f"blocks_{k}"] = _basic_block(sd, f"{p}.transformer_blocks.{k}")
+        out[f"blocks_{k}"] = _basic_block(sd, f"{p}.transformer_blocks.{k}",
+                                          heads, head_dim)
     return out
 
 
@@ -785,14 +800,25 @@ def convert_unet_sd(sd: Mapping[str, np.ndarray],
                     layers_per_block: int = 2,
                     cross_attn_blocks: Tuple[bool, ...] = (True, True, True, False),
                     transformer_depth=1,
-                    addition_embed: str = "none") -> Tree:
+                    addition_embed: str = "none",
+                    num_attention_heads=8) -> Tree:
     """diffusers ``UNet2DConditionModel`` (SD1.5 ip2p / SDXL) state dict ->
-    models.unet_sd.SDUNet params."""
+    models.unet_sd.SDUNet params. ``num_attention_heads`` mirrors
+    ``SDUNetConfig.num_attention_heads`` (int or per-level tuple) so
+    sublane-unaligned head splits get padded storage."""
     n = len(block_out_channels)
 
     def depth_for(i):
         return (transformer_depth[i] if isinstance(transformer_depth, (tuple, list))
                 else transformer_depth)
+
+    def heads_for(i):
+        return (num_attention_heads[i]
+                if isinstance(num_attention_heads, (tuple, list))
+                else num_attention_heads)
+
+    def head_dim_for(i):
+        return block_out_channels[i] // heads_for(i)
 
     p: Tree = {
         "conv_in": t_conv(sd, "conv_in"),
@@ -808,12 +834,15 @@ def convert_unet_sd(sd: Mapping[str, np.ndarray],
             p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
             if cross_attn_blocks[i]:
                 p[f"down_{i}_attn_{j}"] = _spatial_transformer_deep(
-                    sd, f"{base}.attentions.{j}", depth_for(i))
+                    sd, f"{base}.attentions.{j}", depth_for(i),
+                    heads_for(i), head_dim_for(i))
         if i < n - 1:
             p[f"down_{i}_downsample"] = {"conv": t_conv(sd, f"{base}.downsamplers.0.conv")}
     p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
     p["mid_attn"] = _spatial_transformer_deep(sd, "mid_block.attentions.0",
-                                              depth_for(n - 1))
+                                              depth_for(n - 1),
+                                              heads_for(n - 1),
+                                              head_dim_for(n - 1))
     p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
     rev_cross = tuple(reversed(cross_attn_blocks))
     for i in range(n):
@@ -822,7 +851,8 @@ def convert_unet_sd(sd: Mapping[str, np.ndarray],
             p[f"up_{i}_resnet_{j}"] = _resnet(sd, f"{base}.resnets.{j}")
             if rev_cross[i]:
                 p[f"up_{i}_attn_{j}"] = _spatial_transformer_deep(
-                    sd, f"{base}.attentions.{j}", depth_for(n - 1 - i))
+                    sd, f"{base}.attentions.{j}", depth_for(n - 1 - i),
+                    heads_for(n - 1 - i), head_dim_for(n - 1 - i))
         if i < n - 1:
             p[f"up_{i}_upsample"] = {"conv": t_conv(sd, f"{base}.upsamplers.0.conv")}
     return {"params": p}
@@ -1111,7 +1141,11 @@ def convert_sd_editor_dir(src: str, model: str) -> Tuple[Dict[str, Any], Dict[st
             block_out_channels=boc,
             layers_per_block=int(unet_cfg.get("layers_per_block", 2)),
             cross_attn_blocks=cross, transformer_depth=depth,
-            addition_embed="sdxl" if is_sdxl else "none"),
+            addition_embed="sdxl" if is_sdxl else "none",
+            # 2D-UNet configs: attention_head_dim is the HEAD COUNT (int,
+            # SD1.5 ip2p: 8) or the per-level head count list (SDXL:
+            # [5, 10, 20]) — the same misnaming as the 3D UNets
+            num_attention_heads=_head_count_from(unet_cfg)),
         "vae": _convert_vae_dir(_os.path.join(src, "vae")),
     }
     if _os.path.isdir(_os.path.join(src, "text_encoder")):

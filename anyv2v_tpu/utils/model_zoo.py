@@ -219,17 +219,44 @@ def fast_random_params(init_fn, seed: int, scale: float = 0.02):
     """
     shapes = jax.eval_shape(init_fn)
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def leaf_kind(path, leaf):
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if leaf.dtype in (jnp.int32, jnp.int64):
+            return "zeros"
+        if name.endswith("scale") or name.endswith("alpha"):
+            return "ones"
+        if name.endswith("bias"):
+            return "zeros"
+        return "normal"
+
+    if jax.default_backend() == "cpu":
+        # host == device: fill on the host directly. The jitted path below
+        # costs one XLA compile per 128 leaves — ~160 s per tiny UNet on this
+        # 1-core host (measured; it was most of the multichip dryrun's
+        # 8-minute wall) — while numpy fills the same tree in milliseconds.
+        rng = np.random.RandomState(seed)
+        leaves = []
+        for path, leaf in flat:
+            kind = leaf_kind(path, leaf)
+            if kind == "zeros":
+                arr = np.zeros(leaf.shape, np.float32)
+            elif kind == "ones":
+                arr = np.ones(leaf.shape, np.float32)
+            else:
+                arr = rng.standard_normal(leaf.shape).astype(np.float32) * scale
+            leaves.append(jnp.asarray(arr, leaf.dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     base = jax.random.PRNGKey(seed)
 
     def make_leaf(i, path, leaf):
-        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
-        key = jax.random.fold_in(base, i)
-        if leaf.dtype in (jnp.int32, jnp.int64):
+        kind = leaf_kind(path, leaf)
+        if kind == "zeros":
             return jnp.zeros(leaf.shape, leaf.dtype)
-        if name.endswith("scale") or name.endswith("alpha"):
+        if kind == "ones":
             return jnp.ones(leaf.shape, leaf.dtype)
-        if name.endswith("bias"):
-            return jnp.zeros(leaf.shape, leaf.dtype)
+        key = jax.random.fold_in(base, i)
         return (jax.random.normal(key, leaf.shape, jnp.float32) * scale).astype(leaf.dtype)
 
     # chunked jits: one giant 1500-output program takes minutes to compile on

@@ -250,7 +250,8 @@ def test_spatial_transformer_golden():
     x = torch.randn(2, 8, 4, 4)
     ctx = torch.randn(2, 5, 12)
     want = t(x, ctx)
-    params = {"params": C._spatial_transformer(sd_pref(t), "m")}
+    params = {"params": C._spatial_transformer(sd_pref(t), "m", heads=2,
+                                               head_dim=4)}
     m = SpatialTransformer(heads=2, head_dim=4, cross_attention_dim=12, groups=4)
     got = m.apply(jax.tree_util.tree_map(jnp.asarray, params), t2j(x),
                   context=jnp.asarray(ctx.numpy()))
@@ -265,7 +266,8 @@ def test_temporal_transformer_golden():
     t = TTemporalTransformer(8, heads=2, head_dim=4).eval()
     x = torch.randn(2 * F, 8, 4, 4)
     want = t(x, num_frames=F)
-    params = {"params": C._temporal_transformer(sd_pref(t), "m")}
+    params = {"params": C._temporal_transformer(sd_pref(t), "m", heads=2,
+                                                head_dim=4)}
     m = TemporalTransformer(heads=2, head_dim=4, cross_attention_dim=8, groups=4)
     # flax side takes [B, F, H, W, C]
     xj = t2j(x).reshape(2, F, 4, 4, 8)

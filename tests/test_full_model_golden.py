@@ -933,7 +933,7 @@ def test_sd_full_unet_forward_golden():
         want = skel(sample, torch.tensor([981]), text)
 
     converted = C.convert_unet_sd(sd_np(skel), block_out_channels=ch,
-                                  layers_per_block=1)
+                                  layers_per_block=1, num_attention_heads=2)
     cfg = SDUNetConfig(block_out_channels=ch, layers_per_block=1,
                        cross_attention_dim=16, num_attention_heads=2,
                        norm_num_groups=4, dtype=jnp.float32)

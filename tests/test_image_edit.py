@@ -210,7 +210,7 @@ def test_sd_unet_structural_conversion():
     _torch.manual_seed(10)
     skel = Skeleton()
     converted = C.convert_unet_sd(sd_np(skel), block_out_channels=ch,
-                                  layers_per_block=1)
+                                  layers_per_block=1, num_attention_heads=2)
     cfg = SDUNetConfig(block_out_channels=ch, layers_per_block=1,
                        cross_attention_dim=ctx, num_attention_heads=2,
                        norm_num_groups=g, dtype=jnp.float32)

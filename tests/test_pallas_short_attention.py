@@ -48,6 +48,68 @@ def test_matches_xla(b, s, heads, d):
                                atol=2e-5, rtol=2e-5)
 
 
+def _ref_rect(q, k, v, heads, scale=None):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    out = jax.nn.dot_product_attention(
+        q.reshape(b, sq, heads, d), k.reshape(b, sk, heads, d),
+        v.reshape(b, sk, heads, d), scale=scale, implementation="xla")
+    return out.reshape(b, sq, c)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,heads,d",
+    [
+        (12, 16, 24, 8, 40),   # ConsistI2V augmented window: t + 8 keys, dh 40
+        (5, 16, 24, 8, 80),    # C=640 level, dh 80
+        (3, 8, 16, 2, 16),     # tiny arch augmented
+        (130, 16, 24, 2, 16),  # rows not a multiple of the block
+        (4, 16, 24, 8, 160),   # C=1280 level: wide heads (dh 160) rectangular
+    ],
+)
+def test_rectangular_matches_xla(b, sq, sk, heads, d):
+    rng = np.random.RandomState(7)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, sq, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=heads)
+    ref = _ref_rect(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("s", [16, 17])
+def test_wide_head_dim_160_matches_xla(s):
+    # VideoLDM C=1280 temporal attention: heads=8, head_dim=160 (> 128 lanes)
+    # runs the per-head tail loop at full contraction depth
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(4, s, 1280), jnp.float32)
+    k = jnp.asarray(rng.randn(4, s, 1280), jnp.float32)
+    v = jnp.asarray(rng.randn(4, s, 1280), jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=8)
+    ref = _ref(q, k, v, heads=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_routing_admits_augmented_and_wide_shapes(monkeypatch):
+    import anyv2v_tpu.ops.attention as attn_mod
+
+    monkeypatch.setattr(attn_mod.jax, "default_backend", lambda: "tpu")
+    r = attn_mod._resolve
+    # ConsistI2V augmented temporal window (sk = t + 8) -> packed kernel
+    assert r("auto", 16, 24, 40, None, None, batch=3072, heads=8) == "pallas_short"
+    # VideoLDM C=1280 temporal (heads=8, dh=160) -> per-head tail loop
+    assert r("auto", 16, 16, 160, None, None, batch=192, heads=8) == "pallas_short"
+    assert r("auto", 16, 24, 160, None, None, batch=192, heads=8) == "pallas_short"
+    # text cross-attention (sk - sq large) must NOT hit the short kernel
+    assert r("auto", 16, 77, 40, None, None, batch=3072, heads=8) != "pallas_short"
+    # many-head non-packable wide splits stay off the kernel (Mosaic bound)
+    assert r("auto", 16, 16, 160, None, None, batch=8, heads=64) == "xla"
+
+
 def test_custom_scale():
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(4, 16, 64), jnp.float32)
