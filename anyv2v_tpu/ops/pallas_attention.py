@@ -144,7 +144,11 @@ def flash_attention_bshd(
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
 
-    block_q = min(512, _ceil_to(sq, 128))
+    # block_q halves for long K/V: the unrolled k loop keeps ~n_kb live
+    # [block_q, block_k] fp32 score buffers on the VMEM stack, and sk=8192
+    # (ConsistI2V first-frame-concat spatial K/V, videoldm_transformer_blocks
+    # .py:479-489) overflows the 16 MB limit at block_q 512 (measured 17.4M)
+    block_q = min(512 if sk <= 4096 else 256, _ceil_to(sq, 128))
     block_k = min(512, _ceil_to(sk, 128))
     sq_p = _ceil_to(sq, block_q)
     sk_p = _ceil_to(sk, block_k)

@@ -114,6 +114,9 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         ) / l                                        # [bq, 128]
         return jnp.where(sel, pv, acc)
 
+    # NOTE: full head-loop unroll (Mosaic supports only unroll=1 or =all)
+    # was measured and rejected: the concurrent per-head [block_q, Sk] score
+    # buffers blow the 16 MB VMEM stack (22.6M at sk=4096, 21.9M at bq=2048).
     acc = jax.lax.fori_loop(0, g_heads, body,
                             jnp.zeros((block_q, 128), jnp.float32))
     o_ref[0] = acc.astype(o_ref.dtype)

@@ -79,27 +79,34 @@ def _solve_window(q, k, v, mask_h, n_masks, g_win, head_win, head_dim,
     wider windows (checkpoint-true heads=64 at dh 8/16/32) run a
     fori_loop with iota-derived lane masks — no narrow slices reach
     Mosaic, whose per-head narrow-slice unrolls hang at heads=64."""
+    # lane masks are built separately for the K rows (zeroing the other
+    # heads' feature lanes before the contraction) and the Q/output rows
+    # (merging per-head results) — K and Q tiles have different row counts
+    # in the rectangular (sk > sq) packing
     zero = jnp.zeros_like(k)
+    o_shape = q.shape[:-1] + (128,)
     if g_win == 2:
-        lane64 = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) < 64
-        o_lo = _masked_softmax_attn(q, jnp.where(lane64, k, zero), v,
+        lane64_k = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1) < 64
+        lane64_q = jax.lax.broadcasted_iota(jnp.int32, o_shape, 1) < 64
+        o_lo = _masked_softmax_attn(q, jnp.where(lane64_k, k, zero), v,
                                     mask_h(head_win), scale, out_dtype)
-        o_hi = _masked_softmax_attn(q, jnp.where(lane64, zero, k), v,
+        o_hi = _masked_softmax_attn(q, jnp.where(lane64_k, zero, k), v,
                                     mask_h(head_win + 1), scale, out_dtype)
-        return jnp.where(lane64, o_lo, o_hi)
+        return jnp.where(lane64_q, o_lo, o_hi)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, o_shape, 1)
 
     def body(g, o_acc):
         lo = g * head_dim
-        sel = (lane >= lo) & (lane < lo + head_dim)
-        kg = jnp.where(sel, k, zero)
+        sel_k = (lane_k >= lo) & (lane_k < lo + head_dim)
+        sel_q = (lane_q >= lo) & (lane_q < lo + head_dim)
+        kg = jnp.where(sel_k, k, zero)
         mask = mask_h(head_win + g) if n_masks > 1 else mask_h(0)
         o_g = _masked_softmax_attn(q, kg, v, mask, scale, out_dtype)
-        return jnp.where(sel, o_g, o_acc)
+        return jnp.where(sel_q, o_g, o_acc)
 
-    return jax.lax.fori_loop(0, g_win, body,
-                             jnp.zeros(q.shape[:-1] + (128,), out_dtype))
+    return jax.lax.fori_loop(0, g_win, body, jnp.zeros(o_shape, out_dtype))
 
 
 def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,

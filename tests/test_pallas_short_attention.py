@@ -66,6 +66,10 @@ def _ref_rect(q, k, v, heads, scale=None):
         (3, 8, 16, 2, 16),     # tiny arch augmented
         (130, 16, 24, 2, 16),  # rows not a multiple of the block
         (4, 16, 24, 8, 160),   # C=1280 level: wide heads (dh 160) rectangular
+        (5, 16, 32, 2, 64),    # rectangular PAIRWISE window path (dh 64,
+                               #  ConsistI2V ff-concat spatial at tiny hw)
+        (6, 16, 24, 16, 8),    # rectangular 16-head lane-window fori path
+        (3, 17, 25, 8, 40),    # ConsistI2V F+1 frames + augmented keys
     ],
 )
 def test_rectangular_matches_xla(b, sq, sk, heads, d):

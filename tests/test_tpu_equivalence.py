@@ -23,6 +23,12 @@ pytestmark = [
 
 
 def test_unet_forward_auto_matches_xla_within_bf16_noise():
+    """Checkpoint-true i2vgen (heads=64): full production size runs the auto
+    kernel policy (finiteness gate — the XLA oracle CANNOT run there: its
+    unfused bf16[16,64,4096,4096] score tensor is 32 GB on a 16 GB chip,
+    PERF.md kernel A/B table); the auto-vs-XLA comparison runs at latent
+    hw=32, where the L0 packed-flash route (heads=64, dh=8, sq=1024) and the
+    temporal/cross kernels still trip but XLA's scores fit."""
     import jax.numpy as jnp
 
     from anyv2v_tpu.utils.model_zoo import build_i2vgen_pipeline
@@ -35,15 +41,28 @@ def test_unet_forward_auto_matches_xla_within_bf16_noise():
     unet, params = pipe.unet, pipe.params
     D = unet.config.cross_attention_dim
     rng = np.random.RandomState(0)
-    args = dict(
-        sample=jnp.asarray(rng.randn(1, 16, 64, 64, 4), jnp.float32),
-        timestep=jnp.int32(981),
-        encoder_hidden_states=jnp.asarray(rng.randn(1, 77, D) * 0.02,
-                                          jnp.float32),
-        fps=jnp.int32(8),
-        image_latents=jnp.asarray(rng.randn(1, 16, 64, 64, 4), jnp.float32),
-        image_embeddings=jnp.asarray(rng.randn(1, 1, D) * 0.02, jnp.float32),
-    )
+
+    def make_args(hw):
+        return dict(
+            sample=jnp.asarray(rng.randn(1, 16, hw, hw, 4), jnp.float32),
+            timestep=jnp.int32(981),
+            encoder_hidden_states=jnp.asarray(rng.randn(1, 77, D) * 0.02,
+                                              jnp.float32),
+            fps=jnp.int32(8),
+            image_latents=jnp.asarray(rng.randn(1, 16, hw, hw, 4),
+                                      jnp.float32),
+            image_embeddings=jnp.asarray(rng.randn(1, 1, D) * 0.02,
+                                         jnp.float32),
+        )
+
+    # production size: auto policy must execute and stay finite
+    full = make_args(64)
+    out_full = np.asarray(
+        jax.jit(lambda p: unet.apply(p["unet"], **full))(params), np.float32)
+    assert np.isfinite(out_full).all()
+
+    # reduced size: auto vs XLA oracle
+    args = make_args(32)
     out_auto = np.asarray(
         jax.jit(lambda p: unet.apply(p["unet"], **args))(params), np.float32)
 
@@ -60,4 +79,50 @@ def test_unet_forward_auto_matches_xla_within_bf16_noise():
     std = out_xla.std()
     # measured bf16-noise scale for this model: ~0.10-0.12 max-abs at
     # out std ~0.63 (PERF.md rounds 3-4)
+    assert dev < 0.35 * std, f"kernel deviation {dev} vs out std {std}"
+
+
+def test_videoldm_forward_auto_matches_xla_within_bf16_noise():
+    """Production-channel VideoLDM forward: exercises the wide-head temporal
+    route (C=1280, heads=8, dh=160), the augmented first-frame window
+    (rectangular sk = t + 8 packing), and the ff-concat spatial K/V
+    (sk = 2*sq flash) on the real chip. Smaller spatial extent than
+    production keeps the two compiles to ~a minute each."""
+    import jax.numpy as jnp
+
+    from anyv2v_tpu.models.unet_videoldm import VideoLDMUNet
+    from anyv2v_tpu.utils.model_zoo import CONSISTI2V, fast_random_params
+
+    unet = VideoLDMUNet(
+        type(CONSISTI2V["unet"])(**{**CONSISTI2V["unet"].__dict__,
+                                    "dtype": jnp.bfloat16}))
+    D = unet.config.cross_attention_dim
+    rng = np.random.RandomState(1)
+    F, hw = 8, 32
+    args = dict(
+        sample=jnp.asarray(rng.randn(1, F, hw, hw, 4), jnp.float32),
+        timestep=jnp.int32(801),
+        encoder_hidden_states=jnp.asarray(rng.randn(1, 77, D) * 0.02,
+                                          jnp.float32),
+        first_frame_latents=jnp.asarray(rng.randn(1, 1, hw, hw, 4),
+                                        jnp.float32),
+        frame_stride=jnp.int32(3),
+    )
+    params = fast_random_params(
+        lambda: unet.init(
+            jax.random.PRNGKey(0),
+            **{**args, "sample": args["sample"][:, :2]}), 0)
+
+    out_auto = np.asarray(
+        jax.jit(lambda p: unet.apply(p, **args))(params), np.float32)
+    os.environ["ANYV2V_ATTN_BACKEND"] = "xla"
+    try:
+        out_xla = np.asarray(
+            jax.jit(lambda p: unet.apply(p, **args))(params), np.float32)
+    finally:
+        del os.environ["ANYV2V_ATTN_BACKEND"]
+
+    assert np.isfinite(out_auto).all()
+    dev = np.abs(out_auto - out_xla).max()
+    std = out_xla.std()
     assert dev < 0.35 * std, f"kernel deviation {dev} vs out std {std}"
