@@ -79,10 +79,14 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     the active head carry garbage and die in the per-head output select.
     """
     # softmax scale folded into q once ([bq, 128] fp32 — 1/Sk the cost of
-    # scaling scores); the unnormalized-p PV output divides by l at [bq, 128]
-    # instead of dividing p at [bq, Sk]. Both cut per-score VPU ops, which
-    # dominate once the online state is gone.
-    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    # scaling scores), together with log2(e): softmax(s) = 2^(s2 - m2) /
+    # sum 2^(s2 - m2) for s2 = s*log2(e), so exp2 replaces exp and the
+    # per-score multiply inside the transcendental disappears. The
+    # unnormalized-p PV output divides by l at [bq, 128] instead of dividing
+    # p at [bq, Sk]. All three cut per-score VPU ops, which dominate once
+    # the online state is gone.
+    q = (q_ref[0].astype(jnp.float32)
+         * (scale * 1.4426950408889634)).astype(q_ref.dtype)
     k = k_ref[0]                       # [sk_pad, 128]
     v = v_ref[0]
     block_q = q.shape[0]
@@ -93,10 +97,12 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     if pad_tail:
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 1)
 
-    def body(g, acc):
+    def head_sel(g):
         lo = g * dh
-        sel = (lane_q >= lo) & (lane_q < lo + dh)
-        qg = jnp.where(sel, q, jnp.zeros_like(q))
+        return (lane_q >= lo) & (lane_q < lo + dh)
+
+    def scores(g):
+        qg = jnp.where(head_sel(g), q, jnp.zeros_like(q))
         s = jax.lax.dot_general(
             qg, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -104,19 +110,30 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         )                                            # [bq, sk_pad] fp32
         if pad_tail:
             s = jnp.where(col < kv_valid, s, -1e30)
+        return s
+
+    def consume(acc, g, s):
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         ) / l                                        # [bq, 128]
-        return jnp.where(sel, pv, acc)
+        return jnp.where(head_sel(g), pv, acc)
 
-    # NOTE: full head-loop unroll (Mosaic supports only unroll=1 or =all)
-    # was measured and rejected: the concurrent per-head [block_q, Sk] score
-    # buffers blow the 16 MB VMEM stack (22.6M at sk=4096, 21.9M at bq=2048).
+    # NOTE two measured-and-rejected restructurings (v5e, L0 shapes):
+    # (a) full head-loop unroll (Mosaic supports only unroll=1 or =all) —
+    #     g_heads concurrent [block_q, Sk] fp32 score buffers blow the
+    #     16 MB VMEM stack (22.6M at sk=4096);
+    # (b) a 2-stage software pipeline (prefetch head g+1's QK before head
+    #     g's softmax, score buffer loop-carried, vmem_limit raised) —
+    #     87.1 ms vs 63.9 ms at L0 b=16: carrying a 4 MB buffer through
+    #     scf.for costs more in copies than the MXU/VPU overlap saves.
+    def body(g, acc):
+        return consume(acc, g, scores(g))
+
     acc = jax.lax.fori_loop(0, g_heads, body,
                             jnp.zeros((block_q, 128), jnp.float32))
     o_ref[0] = acc.astype(o_ref.dtype)
