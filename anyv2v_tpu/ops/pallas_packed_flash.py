@@ -62,6 +62,120 @@ def packed_is_supported(heads: int, head_dim: int, sk: int) -> bool:
     )
 
 
+def _wide_kv_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
+                    scale: float, dh: int, skp: int, kv_valid: int,
+                    rebuild: bool):
+    """One (batch, window, q-block) program computing ALL G heads' scores in
+    ONE MXU pass against a block-packed wide K/V.
+
+    The per-head loop of :func:`_packed_whole_kernel` issues G small
+    [bq,128]x[128,Sk] matmuls with a VPU softmax between each — at short K/V
+    (cross-attention Sk=157, L1 self Sk=1024) the loop granularity keeps the
+    MXU idle and the kernel lands 3.2-6.5x off its structural floor
+    (PERF.md checkpoint-true probe table). This kernel restructures:
+
+    - scratch K_wide/V_wide [G*skp, 128]: row block g holds K/V lane-masked
+      to head g's lanes (zeroed other-head lanes cancel in the full-depth
+      contraction; zeroed V_wide lanes keep head g's PV contribution out of
+      other heads' output lanes). Built ONCE per (batch, window) — scratch
+      persists across the q-block grid steps — and revisited by every
+      q-block.
+    - scores for all G heads = ONE [bq,128] x [128, G*skp] matmul (NT, the
+      standard attention orientation). Identical MXU work to the G-trip loop
+      (every score still contracts 128 lanes — the narrow-head floor), but
+      one big pipelined pass instead of G stalls.
+    - softmax per head on lane-aligned [bq, skp] column slices (skp is a
+      multiple of 128), exp2 with the scale*log2(e) fold, divide-by-l folded
+      into the bf16 P cast.
+    - PV for all heads = ONE [bq, G*skp] x [G*skp, 128] NN matmul.
+
+    Serves G*skp <= 8192 (VMEM: fp32 scores + bf16 P + wide K/V). The
+    whole-K/V per-head variant remains for L0 self-attention (G*skp = 64k).
+    """
+    if rebuild:   # interpret mode: scratch persistence not guaranteed
+        _build_wide(k_ref, v_ref, kw_ref, vw_ref, dh=dh, skp=skp)
+    else:
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            _build_wide(k_ref, v_ref, kw_ref, vw_ref, dh=dh, skp=skp)
+
+    q = (q_ref[0].astype(jnp.float32)
+         * (scale * 1.4426950408889634)).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, kw_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )                                               # [bq, G*skp] fp32
+    block_q = q.shape[0]
+    g_heads = 128 // dh
+    masked = kv_valid < skp
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, skp), 1)
+    parts = []
+    for g in range(g_heads):
+        sl = s[:, g * skp:(g + 1) * skp]
+        if masked:
+            sl = jnp.where(col < kv_valid, sl, -1e30)
+        m = jnp.max(sl, axis=-1, keepdims=True)
+        p = jnp.exp2(sl - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        parts.append((p * (1.0 / l)).astype(q_ref.dtype))
+    p = jnp.concatenate(parts, axis=1)              # [bq, G*skp] bf16
+    o_ref[0] = jax.lax.dot_general(
+        p, vw_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(o_ref.dtype)
+
+
+def _build_wide(k_ref, v_ref, kw_ref, vw_ref, *, dh: int, skp: int):
+    k = k_ref[0]                                    # [skp, 128]
+    v = v_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (skp, 128), 1)
+    zero_k = jnp.zeros_like(k)
+    for g in range(128 // dh):
+        sel = (lane >= g * dh) & (lane < (g + 1) * dh)
+        kw_ref[g * skp:(g + 1) * skp, :] = jnp.where(sel, k, zero_k)
+        vw_ref[g * skp:(g + 1) * skp, :] = jnp.where(sel, v, zero_k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "dh", "block_q", "kv_valid", "interpret"),
+)
+def _wide_kv_call(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
+    """Wide-KV variant: q [B, Sq_pad, C]; k/v [B, skp, C] (skp % 128 == 0)."""
+    b, sq, c = q.shape
+    skp = k.shape[1]
+    n_win = c // 128
+    g_heads = 128 // dh
+    grid = (b, n_win, sq // block_q)
+    q_spec = pl.BlockSpec((1, block_q, 128), lambda b_, w, i: (b_, i, w),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, skp, 128), lambda b_, w, i: (b_, 0, w),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(_wide_kv_kernel, scale=scale, dh=dh, skp=skp,
+                               kv_valid=kv_valid, rebuild=interpret)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, sq, c), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((g_heads * skp, 128), q.dtype),
+            pltpu.VMEM((g_heads * skp, 128), q.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * g_heads * n_win * sq * skp * 128,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * q.dtype.itemsize,
+            transcendentals=b * g_heads * n_win * sq * skp,
+        ),
+    )(q, k, v)
+
+
 def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                          dh: int, kv_valid: int):
     """One (batch, window, q-block) program with the WHOLE K/V window
@@ -139,6 +253,62 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _packed_whole_pipe_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                              dh: int, kv_valid: int):
+    """Whole-K/V variant with a Python-unrolled 2-deep software pipeline:
+    head g+1's QK matmul is issued before head g's softmax/PV consume, so
+    Mosaic can overlap the MXU pass with the VPU softmax. Only two
+    [block_q, Sk] fp32 score buffers are ever live (vs g_heads for a full
+    eager unroll, which blows VMEM — see the NOTE in _packed_whole_kernel;
+    vs the rejected scf-carried pipeline, no buffer crosses a loop boundary).
+    """
+    q = (q_ref[0].astype(jnp.float32)
+         * (scale * 1.4426950408889634)).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    block_q = q.shape[0]
+    sk_pad = k.shape[0]
+    g_heads = 128 // dh
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (block_q, 128), 1)
+    pad_tail = sk_pad > kv_valid
+    if pad_tail:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 1)
+
+    def head_sel(g):
+        lo = g * dh
+        return (lane_q >= lo) & (lane_q < lo + dh)
+
+    def scores(g):
+        qg = jnp.where(head_sel(g), q, jnp.zeros_like(q))
+        s = jax.lax.dot_general(
+            qg, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        if pad_tail:
+            s = jnp.where(col < kv_valid, s, -1e30)
+        return s
+
+    def consume(acc, g, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) / l
+        return jnp.where(head_sel(g), pv, acc)
+
+    acc = jnp.zeros((block_q, 128), jnp.float32)
+    s = scores(0)
+    for g in range(g_heads):
+        s_next = scores(g + 1) if g + 1 < g_heads else None
+        acc = consume(acc, g, s)
+        s = s_next
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
                    block_k: int, kv_len: int, kv_valid: int):
     """One (batch, window, q-block) program.
@@ -202,9 +372,11 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "dh", "block_q", "kv_valid", "interpret"),
+    static_argnames=("scale", "dh", "block_q", "kv_valid", "interpret",
+                     "pipe"),
 )
-def _packed_call_whole(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
+def _packed_call_whole(q, k, v, *, scale, dh, block_q, kv_valid, interpret,
+                       pipe=False):
     """Whole-K/V variant: q [B, Sq_pad, C]; k/v [B, Sk_pad, C]."""
     b, sq, c = q.shape
     sk = k.shape[1]
@@ -214,8 +386,9 @@ def _packed_call_whole(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec((1, sk, 128), lambda b_, w, i: (b_, 0, w),
                            memory_space=pltpu.VMEM)
-    kernel = functools.partial(_packed_whole_kernel, scale=scale, dh=dh,
-                               kv_valid=kv_valid)
+    kernel = functools.partial(
+        _packed_whole_pipe_kernel if pipe else _packed_whole_kernel,
+        scale=scale, dh=dh, kv_valid=kv_valid)
     g_heads = 128 // dh
     return pl.pallas_call(
         kernel,
@@ -298,6 +471,33 @@ def packed_flash_attention(
         return x
 
     interpret = jax.default_backend() != "tpu"
+    import os
+    variant = os.environ.get("ANYV2V_PACKED_VARIANT", "auto")
+
+    sk_whole = _ceil_to(sk, 128)
+    g_heads = 128 // dh
+
+    # Wide-KV variant when the block-packed [G*skp, 128] K/V pair plus the
+    # [block_q, G*skp] fp32 score buffer fit VMEM AND the shape class is one
+    # where it measured faster than the whole-K/V per-head loop (v5e A/B,
+    # probe_packed): self-attention (L1 1024^2 dh16: 9.5 vs 11.4 ms b=16;
+    # L2 256^2 dh32: 7.0 vs 10.8 ms b=48) and short-q shapes. Large-q CROSS
+    # attention (sq >= 1024, sk=157) measured at parity-to-slower (11.2 vs
+    # 10.2 ms L0 b=16) — both variants sit ~3x above the MXU floor there
+    # with the matmul shape itself underutilized, so cross stays on the
+    # whole-K/V loop.
+    wide = g_heads * sk_whole
+    use_wide = wide <= 8192 and (sq == sk or sq <= 256)
+    if (use_wide and variant in ("auto", "wide")) or variant == "wide":
+        # fp32 score buffer held near 4 MB: bq = 2^20 / wide, 128-aligned
+        block_q = min(512, max(128, (1 << 20) // wide // 128 * 128))
+        block_q = min(block_q, _ceil_to(sq, 128))
+        sq_p = _ceil_to(sq, block_q)
+        out = _wide_kv_call(pad_seq(q, sq_p), pad_seq(k, sk_whole),
+                            pad_seq(v, sk_whole),
+                            scale=float(scale), dh=dh, block_q=block_q,
+                            kv_valid=sk, interpret=interpret)
+        return out[:, :sq]
 
     # Whole-K/V variant whenever the per-window [Sk_pad, 128] K/V pair plus
     # the [block_q, Sk_pad] fp32 score buffer fit VMEM (every shape this
@@ -306,15 +506,19 @@ def packed_flash_attention(
     # 64 ms) and 41% at sk=157 cross (15.7 vs 11.1 ms). block_q scales
     # inversely with Sk_pad to hold the score buffer near 4 MB (bq 512 at
     # sk 4096 exceeds the 16 MB VMEM stack limit, measured 17.06M).
-    sk_whole = _ceil_to(sk, 128)
-    if sk_whole <= 4096:
+    if sk_whole <= 4096 and variant != "online":
         block_q = min(2048, max(256, (256 * 4096) // sk_whole // 128 * 128))
         block_q = min(block_q, _ceil_to(sq, 128))
+        pipe = variant.startswith("whole_pipe")
+        if variant == "whole_pipe":
+            # two score buffers live: halve block_q to stay within VMEM
+            # ("whole_pipe_full" keeps block_q and relies on Mosaic fusion)
+            block_q = max(128, block_q // 2)
         sq_p = _ceil_to(sq, block_q)
         out = _packed_call_whole(pad_seq(q, sq_p), pad_seq(k, sk_whole),
                                  pad_seq(v, sk_whole),
                                  scale=float(scale), dh=dh, block_q=block_q,
-                                 kv_valid=sk, interpret=interpret)
+                                 kv_valid=sk, interpret=interpret, pipe=pipe)
         return out[:, :sq]
 
     block_q = min(256, _ceil_to(sq, 128))

@@ -97,7 +97,7 @@ def _solve_window(q, k, v, mask_h, n_masks, g_win, head_win, head_dim,
     lane_k = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
     lane_q = jax.lax.broadcasted_iota(jnp.int32, o_shape, 1)
 
-    def body(g, o_acc):
+    def solve(g, o_acc):
         lo = g * head_dim
         sel_k = (lane_k >= lo) & (lane_k < lo + head_dim)
         sel_q = (lane_q >= lo) & (lane_q < lo + head_dim)
@@ -106,7 +106,19 @@ def _solve_window(q, k, v, mask_h, n_masks, g_win, head_win, head_dim,
         o_g = _masked_softmax_attn(q, kg, v, mask, scale, out_dtype)
         return jnp.where(sel_q, o_g, o_acc)
 
-    return jax.lax.fori_loop(0, g_win, body, jnp.zeros(o_shape, out_dtype))
+    # Python-unrolled: the G per-head chains are independent, so Mosaic can
+    # pipeline head g+1's matmuls under head g's softmax — the rolled
+    # fori_loop serializes them and measured latency-bound (the strided
+    # temporal call at the checkpoint-true heads=64/dh=8 L0 shape: 22.6 ms
+    # rolled vs ~70x its HBM floor; see PERF.md round-4 anatomy). All body
+    # ops are full-128-lane tiles ([tile, 128] selects + dots) — the
+    # narrow-slice unrolls that hung Mosaic at heads=64 (VERDICT r2) never
+    # appear here. Buffers are [tile, tile] fp32, small enough that 16 live
+    # copies fit VMEM.
+    o_acc = jnp.zeros(o_shape, out_dtype)
+    for g in range(g_win):
+        o_acc = solve(g, o_acc)
+    return o_acc
 
 
 def _short_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,

@@ -45,19 +45,32 @@ def mk(shape, dtype=jnp.bfloat16, seed=0):
     return jnp.asarray(np.random.RandomState(seed).randn(*shape) * 0.1, dtype)
 
 
+def _ab_variants(q, k, v, heads, scale, label, variants=("whole", "wide")):
+    import os
+
+    for var in variants:
+        os.environ["ANYV2V_PACKED_VARIANT"] = var
+        f = jax.jit(lambda q, k, v: multi_head_attention(
+            q, k, v, heads=heads, scale=scale, backend="pallas_packed"))
+        timed(f, q, k, v, label=f"{label} [{var}]")
+    os.environ.pop("ANYV2V_PACKED_VARIANT", None)
+
+
 def spatial():
     """L0 spatial self-attention, invert (b=16) and edit (b=48)."""
     print("== spatial self-attention heads=64 dh=8 (C_eff=512, sq=4096) ==")
     for b in (16, 48):
         q, k, v = (mk((b, 4096, 512), seed=s) for s in range(3))
-        f = jax.jit(lambda q, k, v: multi_head_attention(
-            q, k, v, heads=64, scale=5.0 ** -0.5, backend="pallas_packed"))
-        timed(f, q, k, v, label=f"packed b={b}")
+        _ab_variants(q, k, v, 64, 5.0 ** -0.5, f"packed b={b}",
+                     variants=("whole", "whole_pipe", "whole_pipe_full"))
     # L1: dh 10 -> 16, sq 1024, C_eff 1024
     q, k, v = (mk((16, 1024, 1024), seed=s) for s in range(3))
-    f = jax.jit(lambda q, k, v: multi_head_attention(
-        q, k, v, heads=64, scale=10.0 ** -0.5, backend="pallas_packed"))
-    timed(f, q, k, v, label="packed L1 b=16 sq=1024 dh=16")
+    _ab_variants(q, k, v, 64, 10.0 ** -0.5, "packed L1 b=16 sq=1024 dh=16")
+    q, k, v = (mk((48, 1024, 1024), seed=s) for s in range(3))
+    _ab_variants(q, k, v, 64, 10.0 ** -0.5, "packed L1 b=48 sq=1024 dh=16")
+    # L2: dh 20 -> 32, sq 256, C_eff 2048
+    q, k, v = (mk((48, 256, 2048), seed=s) for s in range(3))
+    _ab_variants(q, k, v, 64, 20.0 ** -0.5, "packed L2 b=48 sq=256 dh=32")
 
 
 def cross():
@@ -66,12 +79,12 @@ def cross():
         q = mk((b, 4096, 512), seed=0)
         k = mk((b, 157, 512), seed=1)
         v = mk((b, 157, 512), seed=2)
-        f = jax.jit(lambda q, k, v: multi_head_attention(
-            q, k, v, heads=64, scale=5.0 ** -0.5, backend="pallas_packed"))
-        timed(f, q, k, v, label=f"packed cross b={b}")
-        g = jax.jit(lambda q, k, v: multi_head_attention(
-            q, k, v, heads=64, scale=5.0 ** -0.5, backend="xla"))
-        timed(g, q, k, v, label=f"xla    cross b={b}")
+        _ab_variants(q, k, v, 64, 5.0 ** -0.5, f"packed cross b={b}")
+    # L1 cross: dh 10 -> 16, sq 1024
+    q = mk((48, 1024, 1024), seed=0)
+    k = mk((48, 157, 1024), seed=1)
+    v = mk((48, 157, 1024), seed=2)
+    _ab_variants(q, k, v, 64, 10.0 ** -0.5, "packed L1 cross b=48")
 
 
 def temporal():

@@ -70,6 +70,44 @@ def test_matches_xla(b, sq, sk, heads, d):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "b,sq,sk,heads,d",
+    [
+        (2, 256, 256, 64, 8),     # L0-class self (wide = 16*256)
+        (1, 384, 384, 32, 16),    # L1-class self
+        (1, 256, 256, 16, 32),    # L2-class self
+        (2, 256, 157, 64, 8),     # short-q cross with key padding
+        (1, 300, 300, 64, 16),    # both seqs padded
+    ],
+)
+def test_wide_variant_matches_xla(b, sq, sk, heads, d, monkeypatch):
+    """Force the wide-KV variant (one matmul for all G heads against the
+    block-packed K/V) on shapes the router may or may not pick it for."""
+    monkeypatch.setenv("ANYV2V_PACKED_VARIANT", "wide")
+    rng = np.random.RandomState(4)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, sq, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    out = packed_flash_attention(q, k, v, heads=heads)
+    ref = _ref(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_whole_pipe_variant_matches_xla(monkeypatch):
+    """The staggered-pipeline whole-K/V variant (A/B knob) stays exact."""
+    monkeypatch.setenv("ANYV2V_PACKED_VARIANT", "whole_pipe")
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(2, 256, 512), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 157, 512), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 157, 512), jnp.float32)
+    out = packed_flash_attention(q, k, v, heads=64)
+    ref = _ref(q, k, v, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_custom_scale_and_bf16():
     # the checkpoint-true scale comes from the TRUE head dim (5), not the
     # padded storage dim (8)
