@@ -156,8 +156,23 @@ class TemporalConvLayer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..ops.pallas_temporal_conv import groupnorm_silu_temporal_conv3
 
+        from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
+                                     pixels_to_frames)
+
         identity = x
-        h = x
+        # flatten H, W into one pixel axis: the op's math is pixel-pointwise,
+        # and a single flat axis reshards cleanly at every UNet level
+        b, f = x.shape[:2]
+        c_in = x.shape[-1]
+        h = x.reshape(b, f, -1, c_in)
+        # manual-SPMD region: ONE all_to_all to pixel sharding covers all
+        # four frame-coupled convs (vs one per conv), reversed at exit
+        ctx = current_manual_axis()
+        n_pix = h.shape[2]
+        hoist = (ctx is not None and ctx[1] > 1 and n_pix % ctx[1] == 0
+                 and n_pix // ctx[1] >= 8)
+        if hoist:
+            h = frames_to_pixels(h, ctx[0], 1, 2)
         for i in range(4):
             gamma, beta = _GroupNormParams(name=f"norm{i+1}")(h.shape[-1])
             kernel, bias = _TemporalConv3Params(
@@ -167,8 +182,11 @@ class TemporalConvLayer(nn.Module):
                 name=f"conv{i+1}",
             )(h.shape[-1])
             h = groupnorm_silu_temporal_conv3(
-                h, gamma, beta, kernel, bias, self.groups, 1e-5, self.dtype)
-        return identity + h
+                h, gamma, beta, kernel, bias, self.groups, 1e-5, self.dtype,
+                pixel_sharded=hoist)
+        if hoist:
+            h = pixels_to_frames(h, ctx[0], 1, 2)
+        return identity + h.reshape(x.shape[:-1] + (h.shape[-1],))
 
 
 # ---------------------------------------------------------------------------
@@ -211,6 +229,7 @@ class Attention(nn.Module):
         ip_tokens: Optional[jax.Array] = None,   # [B, N_ip, D_ctx]
         ip_scale: float = 1.0,
         frame_axis: bool = False,   # x is [B, S, HW, C]; attend over S (axis 1)
+        pixel_sharded: bool = False,  # manual-SPMD: caller already resharded
     ) -> jax.Array:
         dh_store = padded_head_dim(self.head_dim)
         inner = self.heads * dh_store
@@ -239,7 +258,8 @@ class Attention(nn.Module):
         if frame_axis:
             # temporal tokens in their module-native 4D layout (no transpose)
             assert bias is None and context is None and not self.ip
-            out = temporal_attention(q, k, v, heads=self.heads, scale=scale)
+            out = temporal_attention(q, k, v, heads=self.heads, scale=scale,
+                                     pixel_sharded=pixel_sharded)
             return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
 
         out = multi_head_attention(q, k, v, heads=self.heads, bias=bias,
@@ -343,13 +363,14 @@ class BasicTransformerBlock(nn.Module):
         ip_tokens: Optional[jax.Array] = None,
         ip_scale: float = 1.0,
         frame_axis: bool = False,
+        pixel_sharded: bool = False,
     ) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + Attention(
             self.heads, self.head_dim, dtype=self.dtype, pnp_chunks=self.pnp_chunks,
             name="attn1",
         )(h, inject=inject, qk_transform=qk_transform, bias=bias,
-          frame_axis=frame_axis)
+          frame_axis=frame_axis, pixel_sharded=pixel_sharded)
 
         if not self.only_self_attention:
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
@@ -361,7 +382,7 @@ class BasicTransformerBlock(nn.Module):
                 ip=self.ip,
                 name="attn2",
             )(h, context=context, ip_tokens=ip_tokens, ip_scale=ip_scale,
-              frame_axis=frame_axis)
+              frame_axis=frame_axis, pixel_sharded=pixel_sharded)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)
@@ -448,8 +469,25 @@ class TemporalTransformer(nn.Module):
             x.reshape(b * f, h_, w_, c)
         ).astype(self.dtype)
         frame_axis = context is None and qk_transform is None and bias is None
+        pixel_sharded = False
+        ctx_manual = None
         if frame_axis:
             h = h.reshape(b, f, h_ * w_, c)                 # free reshape
+            # manual-SPMD region: ONE all_to_all to pixel sharding at the
+            # module boundary covers the whole transformer (norm/proj/FF are
+            # token-local; the frame attention then holds all frames
+            # locally), reversed before the residual add — vs one reshard
+            # per q/k/v/out inside the attention op
+            from ..parallel.mesh import (current_manual_axis,
+                                         frames_to_pixels, pixels_to_frames)
+
+            ctx_manual = current_manual_axis()
+            n_pix = h_ * w_
+            pixel_sharded = (ctx_manual is not None and ctx_manual[1] > 1
+                             and n_pix % ctx_manual[1] == 0
+                             and n_pix // ctx_manual[1] >= 8)
+            if pixel_sharded:
+                h = frames_to_pixels(h, ctx_manual[0], 1, 2)
         else:
             # [(B F), H, W, C] -> [(B H W), F, C]
             h = h.reshape(b, f, h_ * w_, c).transpose(0, 2, 1, 3).reshape(
@@ -464,9 +502,11 @@ class TemporalTransformer(nn.Module):
                 pnp_chunks=self.pnp_chunks,
                 name=f"blocks_{i}",
             )(h, context=context, inject=inject, qk_transform=qk_transform,
-              bias=bias, frame_axis=frame_axis)
+              bias=bias, frame_axis=frame_axis, pixel_sharded=pixel_sharded)
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
         if frame_axis:
+            if pixel_sharded:
+                h = pixels_to_frames(h, ctx_manual[0], 1, 2)
             h = h.reshape(b, f, h_, w_, c)
         else:
             h = h.reshape(b, h_ * w_, f, c).transpose(0, 2, 1, 3).reshape(

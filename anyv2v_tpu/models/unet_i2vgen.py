@@ -27,10 +27,15 @@ spatial/temporal attn1 Q/K on "decoder blocks 4-11" = up_blocks[1].attn[1,2],
 up_blocks[2..3].attn[0,1,2]; conv features after conv2 of
 up_blocks[1].resnets[1].
 
-Parity knobs that cannot be confirmed without the HF checkpoint in this
-offline environment (shapes verified at weight-conversion time):
-``num_image_context_tokens`` (image_embeddings context token count) and the
-head split (heads = C // head_dim, head_dim = 64 — the standard split).
+Head split: the checkpoint-true i2vgen-xl split is heads=64 with
+head_dim = C/64 in {5, 10, 20} (diffusers issue #2011 — the HF config's
+``attention_head_dim`` is the HEAD COUNT for this UNet). The zoo default and
+the converter (``utils/model_zoo.py::resolve_i2vgen_heads``) pin this split;
+projection weights store each head padded to ``padded_head_dim`` (8/16/32)
+so activations are born lane-aligned (``ops/attention.py``). A parity knob
+that cannot be confirmed without the HF checkpoint in this offline
+environment: ``num_image_context_tokens`` (image_embeddings context token
+count; shapes verified at weight-conversion time).
 """
 
 from __future__ import annotations
@@ -161,7 +166,12 @@ class I2VGenUNet(nn.Module):
         # text tokens
         context = encoder_hidden_states.astype(dt)
         # local image context: conv-pyramid on the conditioning-frame latent
-        img_lat0 = image_latents[:, 0].astype(dt)  # [B, h, w, 4]
+        # [B, h, w, 4] — written as a size-1-axis reduce, not a squeeze:
+        # under frame sharding, GSPMD mangles slice+reshape over the sharded
+        # axis (verifier RET_CHECK "ElementsIn(reshape) == ElementsIn(operand)"
+        # after spmd-partitioning); a reduce partitions cleanly and is
+        # mathematically identical over one element.
+        img_lat0 = image_latents[:, 0:1].sum(axis=1).astype(dt)
         z = nn.Conv(C * 8, (3, 3), padding=1, dtype=dt, name="img_ctx_conv1")(img_lat0)
         z = nn.silu(z)
         z = adaptive_avg_pool_2d(z, (32, 32))
@@ -183,17 +193,34 @@ class I2VGenUNet(nn.Module):
         context = jnp.repeat(context, F, axis=0)  # [(B F), S_ctx, 1024]
 
         # --- image latent local path: per-frame proj + temporal encoder ----
-        il = fold_frames(image_latents.astype(dt))  # [(B F), h, w, 4]
+        # F_il: inside the manual-SPMD region (parallel.mesh.manual_axis)
+        # image_latents arrives REPLICATED with ALL frames (its temporal
+        # encoder attends across every frame and the whole path is
+        # step-invariant, so each chip computes it identically and XLA
+        # hoists it out of the denoising scan) while ``sample`` holds only
+        # this chip's F frames — the output is sliced to the local window
+        # below. Single-device: F_il == F and the slice is a no-op.
+        F_il = image_latents.shape[1]
+        il = fold_frames(image_latents.astype(dt))  # [(B F_il), h, w, 4]
         il = nn.Conv(C * 4, (3, 3), padding=1, dtype=dt, name="img_lat_proj1")(il)
         il = nn.silu(il)
         il = nn.Conv(C * 4, (3, 3), padding=1, dtype=dt, name="img_lat_proj2")(il)
         il = nn.silu(il)
         il = nn.Conv(C, (3, 3), padding=1, dtype=dt, name="img_lat_proj3")(il)
         # temporal encoding over frames per pixel
-        il = unfold_frames(il, F)  # [B, F, h, w, C]
-        il_t = il.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
+        il = unfold_frames(il, F_il)  # [B, F_il, h, w, C]
+        il_t = il.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F_il, C)
         il_t = _TemporalEncoder(dim=C, dtype=dt, name="image_latents_temporal_encoder")(il_t)
-        il = il_t.reshape(B, H, W, F, C).transpose(0, 3, 1, 2, 4)
+        il = il_t.reshape(B, H, W, F_il, C).transpose(0, 3, 1, 2, 4)
+        if F_il != F:
+            from ..parallel.mesh import current_manual_axis
+
+            ctx = current_manual_axis()
+            assert ctx is not None and F_il == F * ctx[1], (
+                "image_latents frame count must equal sample's (or the full "
+                "count inside a manual-SPMD region)")
+            idx = jax.lax.axis_index(ctx[0])
+            il = jax.lax.dynamic_slice_in_dim(il, idx * F, F, axis=1)
 
         # --- 5. pre-process --------------------------------------------------
         x = jnp.concatenate([sample.astype(dt), il], axis=-1)  # [B, F, h, w, 8]

@@ -194,7 +194,26 @@ def multi_head_attention(
            ``seine/models/attention.py:813-815``).
     mask:  optional boolean mask broadcastable to [B, heads, Sq, Sk].
     Returns [B, Sq, heads*Dh] in the query dtype.
+
+    Batch rows are independent problems, so inside a manual-SPMD UNet region
+    (:func:`anyv2v_tpu.parallel.mesh.manual_axis` — frames sharded, frames
+    folded into these rows) the call is already shard-local and needs no
+    communication.
     """
+    return _mha_impl(query, key, value, heads=heads, bias=bias, mask=mask,
+                     scale=scale, backend=backend)
+
+
+def _mha_impl(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    heads: int,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
     b, sq, d = query.shape
     head_dim = d // heads
     # sublane-align small head dims by zero-padding (exact — see
@@ -217,8 +236,10 @@ def multi_head_attention(
         query = _pad_head_dim(query, heads, pad)
         key = _pad_head_dim(key, heads, pad)
         value = _pad_head_dim(value, heads, pad)
-        out = multi_head_attention(query, key, value, heads=heads, bias=bias,
-                                   mask=mask, scale=scale, backend=backend)
+        # recurse into the impl, NOT the public wrapper — when this runs
+        # inside a shard_map body the wrapper would nest another shard_map
+        out = _mha_impl(query, key, value, heads=heads, bias=bias,
+                        mask=mask, scale=scale, backend=backend)
         return out.reshape(b, sq, heads, eff_dh)[..., :head_dim].reshape(b, sq, d)
     if backend == "pallas_short":
         from .pallas_short_attention import short_attention_bsc
@@ -264,12 +285,61 @@ def temporal_attention(
     heads: int,
     scale: Optional[float] = None,
     backend: Optional[str] = None,
+    pixel_sharded: bool = False,
 ) -> jax.Array:
     """Self-attention over the frame axis S of 4D temporal tokens WITHOUT the
     [B,S,HW,C] <-> [B,HW,S,C] transposes the 3D path needs: on TPU the
     strided kernel (:func:`..ops.pallas_short_attention.short_attention_frames`)
     reads the native layout directly; elsewhere (CPU mesh/tests) the
-    transpose + XLA path keeps the same math."""
+    transpose + XLA path keeps the same math.
+
+    Inside a manual-SPMD UNet region (frames sharded over mesh axis ``name``,
+    :func:`anyv2v_tpu.parallel.mesh.manual_axis`) the op resharding is
+    explicit: all_to_all frames<->pixels (temporal attention couples frames
+    but not pixels), compute with all frames local, all_to_all back —
+    per-chip volume ~2/n of the tensor each way vs (n-1)/n for a frame
+    all-gather. Deep levels whose pixel count doesn't divide the mesh
+    all-gather the (tiny) frame axis instead and keep the local slice."""
+    from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
+                                 gather_frames, pixels_to_frames)
+
+    ctx = current_manual_axis()
+    if ctx is not None:
+        name, n = ctx
+        if pixel_sharded or n <= 1:
+            # caller already holds all frames locally (the TemporalTransformer
+            # hoisted one all_to_all to its module boundary)
+            return _temporal_attention_impl(query, key, value, heads=heads,
+                                            scale=scale, backend=backend)
+        if n > 1:
+            hw = query.shape[2]
+            if hw % n == 0 and hw // n >= 8:
+                q, k, v = (frames_to_pixels(t, name, 1, 2)
+                           for t in (query, key, value))
+                out = _temporal_attention_impl(q, k, v, heads=heads,
+                                               scale=scale, backend=backend)
+                return pixels_to_frames(out, name, 1, 2)
+            # tiny deep-level grids: gather the short frame axis, compute the
+            # full problem, keep this chip's frame slice
+            q, k, v = (gather_frames(t, name, 1)
+                       for t in (query, key, value))
+            out = _temporal_attention_impl(q, k, v, heads=heads, scale=scale,
+                                           backend=backend)
+            f_loc = query.shape[1]
+            i = jax.lax.axis_index(name)
+            return jax.lax.dynamic_slice_in_dim(out, i * f_loc, f_loc, axis=1)
+    return _temporal_attention_impl(query, key, value, heads=heads,
+                                    scale=scale, backend=backend)
+
+
+def _temporal_attention_impl(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    heads: int,
+    scale: Optional[float] = None,
+    backend: Optional[str] = None,
+) -> jax.Array:
     b, s, hw, c = query.shape
     head_dim = c // heads
     if backend is None or backend == "auto":

@@ -165,11 +165,13 @@ def fused_ffn(
     n = int(np.prod(lead))
     xr = x.reshape(n, c)
 
+    # rows are independent problems: inside the manual-SPMD UNet region
+    # (frames sharded, folded into these rows) the call is already
+    # shard-local and needs no communication
     tr = _row_tile(c)
     n_pad = _ceil_to(n, tr)
     if n_pad != n:
         xr = jnp.pad(xr, ((0, n_pad - n), (0, 0)))
-
     interpret = jax.default_backend() != "tpu"
     out = _ffn_call(
         xr, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),

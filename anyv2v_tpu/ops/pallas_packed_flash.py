@@ -509,8 +509,14 @@ def packed_flash_attention(
     if sk_whole <= 4096 and variant != "online":
         block_q = min(2048, max(256, (256 * 4096) // sk_whole // 128 * 128))
         block_q = min(block_q, _ceil_to(sq, 128))
-        pipe = variant.startswith("whole_pipe")
-        if variant == "whole_pipe":
+        # Staggered 2-deep software pipeline for the large SELF-attention
+        # class (L0: sq = sk = 4096): head g+1's QK overlaps head g's
+        # softmax/PV; measured 54.3 vs 62.9 ms at L0 b=16 (block_q halved to
+        # keep two live score buffers within VMEM — bq 256 x2 OOMs at 27.3M).
+        # Cross shapes keep the rolled loop (block_q 2048 dominates there).
+        pipe = variant.startswith("whole_pipe") or (
+            variant == "auto" and sq == sk and sk_whole >= 2048)
+        if pipe and variant != "whole_pipe_full":
             # two score buffers live: halve block_q to stay within VMEM
             # ("whole_pipe_full" keeps block_q and relies on Mosaic fusion)
             block_q = max(128, block_q // 2)

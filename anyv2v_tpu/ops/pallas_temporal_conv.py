@@ -180,6 +180,7 @@ def groupnorm_silu_temporal_conv3(
     groups: int,
     eps: float,
     compute_dtype: jnp.dtype,
+    pixel_sharded: bool = False,
 ) -> jax.Array:
     """groupnorm -> silu -> (3,1,1) temporal conv as ONE kernel pass.
 
@@ -189,11 +190,27 @@ def groupnorm_silu_temporal_conv3(
     (~16 ms of a 635 ms edit step, measured — PERF.md round 4)."""
     if kernel.ndim == 5:
         kernel = kernel.reshape(3, kernel.shape[-2], kernel.shape[-1])
+    from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
+                                 gather_frames, pixels_to_frames)
+
+    manual = current_manual_axis()
     b = x.shape[0]
     c = x.shape[-1]
-    xf = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 3))                       # [B, G]
-    var = jnp.mean(jnp.square(xf), axis=(1, 3)) - jnp.square(mean)
+    # split ONLY the channel dim for the group reduce (keeping the frame
+    # axis separate keeps the reduce frame-local + a [B, G]-sized combine)
+    xf = x.astype(jnp.float32).reshape(*x.shape[:-1], groups, c // groups)
+    red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = jnp.mean(xf, axis=red)                          # [B, G]
+    var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+    if manual is not None and manual[1] > 1:
+        # inside the manual-SPMD UNet region x holds only this chip's SHARD
+        # (frames if pixel_sharded=False, pixels if True): group statistics
+        # are GLOBAL over (F, pixels) -> pmean the per-chip moments (equal
+        # shard sizes make the plain mean-of-means exact)
+        name = manual[0]
+        mean_sq = jax.lax.pmean(jnp.mean(jnp.square(xf), axis=red), name)
+        mean = jax.lax.pmean(mean, name)
+        var = mean_sq - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)                         # [B, G]
     inv_c = jnp.repeat(inv, c // groups, axis=1)           # [B, C]
     mean_c = jnp.repeat(mean, c // groups, axis=1)
@@ -202,29 +219,51 @@ def groupnorm_silu_temporal_conv3(
     kernel = kernel.astype(compute_dtype)
     bias = bias.astype(compute_dtype)
 
-    f = x.shape[1]
-    p_pix = int(np.prod(x.shape[2:-1]))
-    c_out = kernel.shape[-1]
-    use_kernel = jax.default_backend() == "tpu" and _kernel_fits(
-        c, c_out, f, _pixel_tile(c, c_out, f, p_pix))
-    if not use_kernel:
-        # CPU mesh/tests, or shapes whose tiles exceed VMEM: same math,
-        # unfused
-        shape = [1] * (x.ndim - 1) + [c]
-        h = (x.astype(jnp.float32) * s.reshape(b, *shape[1:])
-             + t.reshape(b, *shape[1:]))
-        h = (h * jax.nn.sigmoid(h)).astype(compute_dtype)
+    def compute(x, kernel, bias, s, t):
         f = x.shape[1]
-        hp = jnp.pad(h, ((0, 0), (1, 1)) + ((0, 0),) * (x.ndim - 2))
-        out = None
-        for d in range(3):
-            part = jax.lax.dot_general(
-                hp[:, d:d + f], kernel[d],
-                (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-            )
-            out = part if out is None else out + part
-        return (out + bias).astype(compute_dtype)
+        p_pix = int(np.prod(x.shape[2:-1]))
+        c_out = kernel.shape[-1]
+        use_kernel = jax.default_backend() == "tpu" and _kernel_fits(
+            c, c_out, f, _pixel_tile(c, c_out, f, p_pix))
+        if not use_kernel:
+            # CPU mesh/tests, or shapes whose tiles exceed VMEM: same math,
+            # unfused
+            shape = [1] * (x.ndim - 1) + [c]
+            h = (x.astype(jnp.float32) * s.reshape(b, *shape[1:])
+                 + t.reshape(b, *shape[1:]))
+            h = (h * jax.nn.sigmoid(h)).astype(compute_dtype)
+            hp = jnp.pad(h, ((0, 0), (1, 1)) + ((0, 0),) * (x.ndim - 2))
+            out = None
+            for d in range(3):
+                part = jax.lax.dot_general(
+                    hp[:, d:d + f], kernel[d],
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+                )
+                out = part if out is None else out + part
+            return (out + bias).astype(compute_dtype)
 
-    return _run(x, kernel, bias, s, t, jnp.dtype(compute_dtype))
+        return _run(x, kernel, bias, s, t, jnp.dtype(compute_dtype))
+
+    # Inside the manual-SPMD UNet region the (3,1,1) conv needs all frames:
+    # all_to_all to pixel sharding (frames complete, pixels split), run the
+    # fused apply/silu/conv locally, all_to_all back. Tiny deep-level grids
+    # (pixel count not divisible) gather the short frame axis instead.
+    # pixel_sharded=True: the caller (TemporalConvLayer) already hoisted ONE
+    # all_to_all around its four convs — x holds all frames locally.
+    if manual is not None and manual[1] > 1 and pixel_sharded:
+        return compute(x, kernel, bias, s, t)
+    if manual is not None and manual[1] > 1:
+        name, n = manual
+        n_pix = int(np.prod(x.shape[2:-1]))
+        if x.ndim == 4 and n_pix % n == 0 and n_pix // n >= 8:
+            xp = frames_to_pixels(x, name, 1, 2)
+            out = compute(xp, kernel, bias, s, t)
+            return pixels_to_frames(out, name, 1, 2)
+        xg = gather_frames(x, name, 1)
+        out = compute(xg, kernel, bias, s, t)
+        f_loc = x.shape[1]
+        i = jax.lax.axis_index(name)
+        return jax.lax.dynamic_slice_in_dim(out, i * f_loc, f_loc, axis=1)
+    return compute(x, kernel, bias, s, t)

@@ -56,3 +56,73 @@ def shard_params(params, mesh: Mesh):
     """Replicate parameters across the mesh (inference: no optimizer state;
     ZeRO-style param sharding is unnecessary at these sizes)."""
     return jax.device_put(params, replicated(mesh))
+
+
+# ---------------------------------------------------------------------------
+# Manual-SPMD region for the video UNet
+# ---------------------------------------------------------------------------
+#
+# Pallas calls lower to tpu_custom_call, which the SPMD partitioner cannot
+# partition: on a real multi-chip mesh it would all-gather every operand and
+# replicate the kernel on all chips — for this model that is most of the
+# step. And leaving GSPMD to invent reshardings around per-op shard_map
+# boundaries proved fragile (its replicate-as-last-resort fallback both
+# ICEd the HLO verifier and miscompiled the batch-2 tail scan on this XLA
+# build). So the whole UNet forward runs as ONE jax.shard_map region
+# (manual SPMD, scaling-book style):
+#
+# - frames are the sharded axis; spatial layers (convs, spatial/cross
+#   attention, FFN, per-frame norms) are frame-local and need NOTHING;
+# - frame-coupled ops (temporal attention, (3,1,1) temporal conv)
+#   all_to_all to PIXEL sharding, compute with all frames local, and
+#   all_to_all back — per-chip volume ~2/n of the tensor each way vs
+#   (n-1)/n for an all-gather strategy;
+# - temporal-conv groupnorm statistics pmean over the frame axis.
+#
+# Model/op code discovers it is inside the region via manual_axis(); with no
+# region active everything is the plain single-device program.
+
+import contextlib
+import threading
+
+_MANUAL_AXIS = threading.local()
+
+
+@contextlib.contextmanager
+def manual_axis(name: str, size: int):
+    """Mark the dynamic extent of a shard_map region whose ``name`` axis
+    shards the video frame dimension (``size`` devices). Read at trace time
+    by the frame-coupled ops."""
+    prev = getattr(_MANUAL_AXIS, "value", None)
+    _MANUAL_AXIS.value = (name, size)
+    try:
+        yield
+    finally:
+        _MANUAL_AXIS.value = prev
+
+
+def current_manual_axis():
+    """(axis_name, n_devices) inside a manual-SPMD UNet region, else None."""
+    return getattr(_MANUAL_AXIS, "value", None)
+
+
+def frames_to_pixels(x: jax.Array, name: str, frame_axis: int,
+                     pixel_axis: int) -> jax.Array:
+    """[..., F_loc, ..., P, ...] -> [..., F, ..., P/n, ...] via tiled
+    all_to_all over mesh axis ``name`` (frames complete, pixels split)."""
+    return jax.lax.all_to_all(x, name, split_axis=pixel_axis,
+                              concat_axis=frame_axis, tiled=True)
+
+
+def pixels_to_frames(x: jax.Array, name: str, frame_axis: int,
+                     pixel_axis: int) -> jax.Array:
+    """Inverse of :func:`frames_to_pixels`."""
+    return jax.lax.all_to_all(x, name, split_axis=frame_axis,
+                              concat_axis=pixel_axis, tiled=True)
+
+
+def gather_frames(x: jax.Array, name: str, frame_axis: int) -> jax.Array:
+    """All-gather the frame axis (fallback when the pixel count doesn't
+    divide the mesh — deep UNet levels with tiny grids, where the tensors
+    are small enough that gathering is cheap)."""
+    return jax.lax.all_gather(x, name, axis=frame_axis, tiled=True)

@@ -325,8 +325,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 self._put_replicated(src_ff_latent.astype(jnp.float32)),
                 self._put_replicated(edited_ff_latent.astype(jnp.float32)),
                 jnp.int32(frame_stride), step_data,
-                jnp.float32(cfg_txt), jnp.float32(cfg_img), jnp.float32(guidance_rescale),
-                mode=mode,
+                jnp.float32(cfg_txt), jnp.float32(cfg_img),
+                jnp.float32(guidance_rescale), mode=mode,
             )
         if k_inj < n_run:
             step_data2 = (
@@ -431,7 +431,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
         step_data = (jnp.asarray(ts, jnp.int32),
                      jnp.asarray(ts - step_ratio, jnp.int32))
         out = self._sample_plain(
-            self.params, self._put_video(state), self._put_replicated(noisy_ff),
+            self.params, self._put_video(state),
+            self._put_replicated(noisy_ff),
             self._put_replicated(text_embeds_all),
             self._put_replicated(first_frame_latent.astype(jnp.float32)),
             jnp.int32(frame_stride),

@@ -87,6 +87,76 @@ class I2VGenPipeline(LatentCodecMixin):
     # _put_frames) come from ShardingMixin via LatentCodecMixin
 
     # ------------------------------------------------------------------
+    # UNet dispatch: manual-SPMD region over the mesh
+    # ------------------------------------------------------------------
+
+    def _apply_unet(self, params, *, sample, timestep, encoder_hidden_states,
+                    fps, image_latents, image_embeddings, pnp_flags=None):
+        """One UNet forward. With a mesh, the whole forward runs as ONE
+        jax.shard_map region (manual SPMD): frames sharded, spatial compute
+        local, temporal ops all_to_all frames<->pixels inside
+        (parallel/mesh.py). GSPMD never partitions the UNet interior — the
+        Pallas calls are SPMD-opaque and GSPMD's replicate-fallback both
+        ICEd and miscompiled around per-op boundaries on this XLA build.
+
+        ``image_latents`` enters REPLICATED (its temporal encoder needs all
+        frames; the path is step-invariant and hoisted out of the scan).
+        ``pnp_flags``: optional (conv, spatial, temporal) traced bools —
+        requires the cfg mesh axis unsharded (the injection row swap is a
+        cross-CFG-row operation). Falls back to the plain single-program
+        apply when the mesh is absent, frames don't divide, or
+        ANYV2V_MANUAL_SPMD=0."""
+        import os
+
+        mesh = self.mesh
+        n = mesh.shape["frame"] if mesh is not None else 1
+        F = sample.shape[1]
+        use_manual = (
+            mesh is not None and n > 1 and F % n == 0
+            and mesh.shape.get("cfg", 1) == 1
+            and os.environ.get("ANYV2V_MANUAL_SPMD", "1") != "0"
+        )
+        if not use_manual:
+            kw = {}
+            if pnp_flags is not None:
+                kw["pnp"] = PnPFlags(conv=pnp_flags[0], spatial=pnp_flags[1],
+                                     temporal=pnp_flags[2])
+            return self.unet.apply(
+                params, sample=sample, timestep=timestep,
+                encoder_hidden_states=encoder_hidden_states, fps=fps,
+                image_latents=image_latents,
+                image_embeddings=image_embeddings, **kw)
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import manual_axis
+
+        vspec = P(None, "frame", None, None, None)
+        has_pnp = pnp_flags is not None
+        flags = pnp_flags if has_pnp else ()
+
+        def local(params, sample, timestep, text, fps, image_latents,
+                  image_embeddings, flags):
+            with manual_axis("frame", n):
+                kw = {}
+                if has_pnp:
+                    kw["pnp"] = PnPFlags(conv=flags[0], spatial=flags[1],
+                                         temporal=flags[2])
+                return self.unet.apply(
+                    params, sample=sample, timestep=timestep,
+                    encoder_hidden_states=text, fps=fps,
+                    image_latents=image_latents,
+                    image_embeddings=image_embeddings, **kw)
+
+        rep = P()
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(rep, vspec, rep, rep, rep, rep, rep, rep),
+            out_specs=vspec, check_vma=False,
+        )(params, sample, timestep, encoder_hidden_states, fps,
+          image_latents, image_embeddings, flags)
+
+    # ------------------------------------------------------------------
     # encoders
     # ------------------------------------------------------------------
 
@@ -125,7 +195,7 @@ class I2VGenPipeline(LatentCodecMixin):
             n_steps = total_steps
 
             def body(x, t):
-                eps = self.unet.apply(
+                eps = self._apply_unet(
                     params["unet"],
                     sample=x,
                     timestep=t,
@@ -183,7 +253,10 @@ class I2VGenPipeline(LatentCodecMixin):
             keep = np.array([int(t) in save_ts for t in inv_ts])
         args = (
             self._put_replicated(text_embeds),
-            self._put_video(image_latents),
+            # replicated (not frame-sharded): the manual-SPMD UNet region
+            # consumes all frames of the conditioning latents on every chip
+            # (see _apply_unet)
+            self._put_replicated(image_latents),
             self._put_replicated(image_embeds),
         )
         x = self._put_video(video_latents)
@@ -221,7 +294,7 @@ class I2VGenPipeline(LatentCodecMixin):
                     traj, cache_i, axis=0, keepdims=False
                 ).astype(jnp.float32)
                 inp = self._constrain_cfg_rows(jnp.concatenate([src, x, x], axis=0))
-                eps3 = self.unet.apply(
+                eps3 = self._apply_unet(
                     params["unet"],
                     sample=inp,
                     timestep=t,
@@ -229,7 +302,7 @@ class I2VGenPipeline(LatentCodecMixin):
                     fps=fps3,
                     image_latents=image_latents_all,
                     image_embeddings=image_embeds_all,
-                    pnp=PnPFlags(conv=inj_conv, spatial=inj_sp, temporal=inj_tmp),
+                    pnp_flags=(inj_conv, inj_sp, inj_tmp),
                 ).astype(jnp.float32)
                 _eps_src, eps_neg, eps_edit = jnp.split(eps3, 3, axis=0)
                 eps = eps_neg + cfg * (eps_edit - eps_neg)
@@ -319,7 +392,7 @@ class I2VGenPipeline(LatentCodecMixin):
             x = self._sample_pnp(
                 self.params, x, traj,
                 self._put_replicated(text_embeds_all),
-                self._put_video(image_latents_all),
+                self._put_replicated(image_latents_all),
                 self._put_replicated(image_embeds_all),
                 fps3, step_data, jnp.float32(guidance_scale),
             )
@@ -333,7 +406,7 @@ class I2VGenPipeline(LatentCodecMixin):
             x = self._sample_plain(
                 self.params, x,
                 self._put_replicated(text_embeds_all[1:]),
-                self._put_video(image_latents_all[1:]),
+                self._put_replicated(image_latents_all[1:]),
                 self._put_replicated(image_embeds_all[1:]),
                 jnp.full((2,), fps, jnp.int32), step_data2,
                 jnp.float32(guidance_scale), do_cfg=True,
@@ -351,7 +424,7 @@ class I2VGenPipeline(LatentCodecMixin):
                 t, t_prev = step
                 inp = (self._constrain_cfg_rows(jnp.concatenate([x, x], axis=0))
                        if do_cfg else x)
-                eps = self.unet.apply(
+                eps = self._apply_unet(
                     params["unet"],
                     sample=inp,
                     timestep=t,
@@ -393,7 +466,7 @@ class I2VGenPipeline(LatentCodecMixin):
         return self._sample_plain(
             self.params, self._put_video(init_latent),
             self._put_replicated(text_embeds_all),
-            self._put_video(image_latents_all),
+            self._put_replicated(image_latents_all),
             self._put_replicated(image_embeds_all),
             fps_n, step_data, jnp.float32(guidance_scale),
             do_cfg=do_cfg,

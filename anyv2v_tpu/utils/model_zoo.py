@@ -216,6 +216,14 @@ def fast_random_params(init_fn, seed: int, scale: float = 0.02):
     get 1.0 + noise, biases stay small). Distribution details do not match
     flax initializers — fine for random-weight smoke/bench runs; real runs
     load converted checkpoints.
+
+    NOTE the fill is backend-dependent for the same ``seed``: the CPU path
+    draws from ``np.random.RandomState`` (host fill — the jitted path costs
+    one XLA compile per 128 leaves, ~160 s per tiny UNet on this 1-core
+    host), while accelerator backends use ``jax.random.fold_in`` PRNG
+    streams. A CPU-mesh run and a TPU run of the "same" random model
+    therefore have different weights; seeded cross-backend reproducibility
+    needs converted checkpoints, not this helper.
     """
     shapes = jax.eval_shape(init_fn)
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)

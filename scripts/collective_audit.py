@@ -79,11 +79,15 @@ def _tuple_bytes(shape_str: str) -> int:
     return total
 
 
-def audit(compiled_text: str):
-    """Collect per-kind counts and bytes for collective ops in compiled HLO."""
+def audit(compiled_text: str, top_n: int = 0):
+    """Collect per-kind counts and bytes for collective ops in compiled HLO.
+
+    ``top_n`` > 0 also prints the largest individual collectives with their
+    result shapes — the work list for gather-volume reduction."""
     kinds = ("all-gather", "all-reduce", "reduce-scatter",
              "collective-permute", "all-to-all")
     found = {}
+    singles = []
     for line in compiled_text.splitlines():
         s = line.strip()
         m = re.match(r"[%\w.\-]+ = (\([^)]*\)|[a-z0-9]+\[[0-9,]*\][^ ]*) "
@@ -97,6 +101,11 @@ def audit(compiled_text: str):
         found.setdefault(op, [0, 0])
         found[op][0] += 1
         found[op][1] += b
+        singles.append((b, op, shape_str[:90]))
+    if top_n:
+        print(f"\ntop {top_n} individual collectives:")
+        for b, op, shp in sorted(singles, reverse=True)[:top_n]:
+            print(f"  {b / 1e6:9.2f} MB  {op:20s} {shp}")
     return found
 
 
@@ -136,14 +145,41 @@ def main():
 
     vid = NamedSharding(mesh, P(None, "frame", None, None, None))
     rep = NamedSharding(mesh, P())
+    manual = not os.environ.get("AUDIT_NO_SHARDMAP")
     shardings = (
         jax.tree.map(lambda _: rep, params),
         dict(sample=vid, timestep=rep, encoder_hidden_states=rep, fps=rep,
-             image_latents=vid, image_embeddings=rep),
+             # production (_apply_unet): image_latents replicated — its
+             # temporal encoder consumes all frames on every chip
+             image_latents=rep if manual else vid,
+             image_embeddings=rep),
     )
 
+    from anyv2v_tpu.parallel.mesh import manual_axis
+
+    vspec = P(None, "frame", None, None, None)
+    n_dev = mesh.shape["frame"]
+
     def fwd(p, inputs):
-        return unet.apply(p, **inputs)
+        # mirrors I2VGenPipeline._apply_unet: the whole forward is ONE
+        # manual-SPMD shard_map region; temporal ops all_to_all inside
+        if not manual:
+            return unet.apply(p, **inputs)
+
+        def local(p, sample, timestep, text, fps, il, ie):
+            with manual_axis("frame", n_dev):
+                return unet.apply(
+                    p, sample=sample, timestep=timestep,
+                    encoder_hidden_states=text, fps=fps, image_latents=il,
+                    image_embeddings=ie)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), vspec, P(), P(), P(), P(), P()),
+            out_specs=vspec, check_vma=False,
+        )(p, inputs["sample"], inputs["timestep"],
+          inputs["encoder_hidden_states"], inputs["fps"],
+          inputs["image_latents"], inputs["image_embeddings"])
 
     print(f"lowering {args.arch} F={F} {hw}x{hw} over mesh {dict(mesh.shape)} ...",
           file=sys.stderr)
@@ -154,8 +190,11 @@ def main():
           file=sys.stderr)
     compiled = lowered.compile()
     txt = compiled.as_text()
+    if os.environ.get("AUDIT_SAVE_HLO"):
+        with open(os.environ["AUDIT_SAVE_HLO"], "w") as fh:
+            fh.write(txt)
 
-    found = audit(txt)
+    found = audit(txt, top_n=int(os.environ.get("AUDIT_TOP_N", "12")))
     ccost = compiled.cost_analysis() or {}
     flops = ccost.get("flops", cost.get("flops", 0.0))
 

@@ -17,7 +17,9 @@ import time
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BUDGET_S = 360
+# Wall-clock budget: overridable so a loaded/slower host is distinguishable
+# from a real compile-time regression (ADVICE r3) — CI keeps the default.
+BUDGET_S = int(os.environ.get("ANYV2V_DRYRUN_BUDGET_S", "360"))
 
 
 @pytest.mark.slow

@@ -84,6 +84,33 @@ def test_rectangular_matches_xla(b, sq, sk, heads, d):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "b,sq,sk,heads,d",
+    [
+        (12, 16, 24, 8, 40),   # ConsistI2V augmented window with rel-pos bias
+        (6, 16, 24, 16, 8),    # rectangular lane-window fori path with bias
+    ],
+)
+def test_rectangular_with_per_head_bias_matches_xla(b, sq, sk, heads, d):
+    """Rectangular (sk > sq) packing with a [heads, sq, sk] additive bias:
+    the kernel tiles the bias to [heads, tile_q, tile_k] across the packed
+    diagonal blocks (ADVICE r3 — previously only exercised at sq == sk)."""
+    rng = np.random.RandomState(9)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, sq, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    bias = jnp.asarray(rng.randn(heads, sq, sk) * 0.5, jnp.float32)
+    out = short_attention_bsc(q, k, v, heads=heads, bias=bias)
+    d_ = c // heads
+    ref = jax.nn.dot_product_attention(
+        q.reshape(b, sq, heads, d_), k.reshape(b, sk, heads, d_),
+        v.reshape(b, sk, heads, d_), bias=bias[None],
+        implementation="xla").reshape(b, sq, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("s", [16, 17])
 def test_wide_head_dim_160_matches_xla(s):
     # VideoLDM C=1280 temporal attention: heads=8, head_dim=160 (> 128 lanes)

