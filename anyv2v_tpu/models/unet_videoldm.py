@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, temporal_attention
 from ..ops.pnp import inject_source_rows
 from ..ops.rotary import apply_rotary, rotary_angles, rotary_freqs
 from .layers import (
@@ -214,23 +214,27 @@ class _TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, adjacent_slices=None, inject=None):
-        # x: [(B HW), F, C]; adjacent_slices: [(B HW), 8, C] first-frame keys
+        # x: [B, F, HW, C] (module-NATIVE layout — no [(B HW), F, C]
+        # transposes; the strided kernel attends over the frame axis in
+        # place); adjacent_slices: [B, 8, HW, C] first-frame window keys
+        # appended along the frame axis.
         inner = self.heads * self.head_dim
-        bhw, f, c = x.shape
+        b, f, hw, c = x.shape
 
         if not self.rotary:
             pe = jnp.asarray(videoldm_positional_encoding(f, inner))
-            x_in = x + pe[None].astype(x.dtype)
+            x_in = x + pe[None, :, None, :].astype(x.dtype)
         else:
             x_in = x
 
         if adjacent_slices is not None:
             if not self.rotary:
                 pe0 = jnp.asarray(videoldm_positional_encoding(1, inner))
-                adjacent_slices = adjacent_slices + pe0[None].astype(x.dtype)
-            ctx = jnp.concatenate([x_in, adjacent_slices], axis=1)  # [., F+8, C]
+                adjacent_slices = adjacent_slices + pe0.reshape(
+                    1, 1, 1, inner).astype(x.dtype)
+            ctx = jnp.concatenate([x_in, adjacent_slices], axis=1)
         else:
-            ctx = x_in
+            ctx = x_in                                # [B, F(+8), HW, C]
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_in)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
@@ -244,23 +248,25 @@ class _TemporalAttention(nn.Module):
         if self.rotary:
             # RotaryEmbedding(inner // 2): only the first inner//2 channels
             # rotate; freqs follow the 'lang' convention on dim inner//2.
+            # Positions index the FRAME axis (axis 1): angles broadcast
+            # [1, F, 1, rot_dim].
             rot_dim = inner // 2
             freqs = jnp.asarray(rotary_freqs(rot_dim))
             q_pos = jnp.arange(f, dtype=jnp.float32)
+            q_ang = rotary_angles(q_pos, freqs)[None, :, None, :]
             q = q.at[..., :rot_dim].set(
-                apply_rotary(q[..., :rot_dim], rotary_angles(q_pos, freqs))
-            )
+                apply_rotary(q[..., :rot_dim], q_ang))
             k_len = ctx.shape[1]
             if adjacent_slices is None:
                 k_pos = jnp.arange(k_len, dtype=jnp.float32)
             else:
                 k_pos = jnp.concatenate(
                     [jnp.arange(f, dtype=jnp.float32), jnp.zeros(k_len - f)])
+            k_ang = rotary_angles(k_pos, freqs)[None, :, None, :]
             k = k.at[..., :rot_dim].set(
-                apply_rotary(k[..., :rot_dim], rotary_angles(k_pos, freqs))
-            )
+                apply_rotary(k[..., :rot_dim], k_ang))
 
-        out = multi_head_attention(q, k, v, heads=self.heads)
+        out = temporal_attention(q, k, v, heads=self.heads)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
@@ -268,15 +274,17 @@ def _first_frame_adjacent_slices(first_frame_tokens: jax.Array, h: int, w: int) 
     """8-neighborhood of each pixel in the first frame, replicate-padded,
     center excluded; unfold order (reference mask [[1,1,1],[1,0,1],[1,1,1]]).
 
-    first_frame_tokens: [B, HW, C] -> [B*HW, 8, C]
+    first_frame_tokens: [B, HW, C] -> [B, 8, HW, C] (native temporal layout:
+    each neighbor is a pixel-shifted copy of frame 0, so it lands as a
+    frame-axis row — pure slices + one stack, no per-pixel transpose)
     """
     b, hw, c = first_frame_tokens.shape
     img = first_frame_tokens.reshape(b, h, w, c)
     padded = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     offsets = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2)]
     slices = [padded[:, di:di + h, dj:dj + w, :] for di, dj in offsets]
-    stacked = jnp.stack(slices, axis=3)  # [B, H, W, 8, C]
-    return stacked.reshape(b * h * w, 8, c)
+    stacked = jnp.stack(slices, axis=1)  # [B, 8, H, W, C]
+    return stacked.reshape(b, 8, h * w, c)
 
 
 class VideoLDMTemporalTransformer(nn.Module):
@@ -307,36 +315,41 @@ class VideoLDMTemporalTransformer(nn.Module):
         tokens = h.reshape(bf, hw, inner)
 
         # --- attn1: temporal self-attention per pixel ----------------------
+        # module-NATIVE layout throughout: [(B F), HW, C'] views as
+        # [B, F, HW, C'] for free (b-major fold), the strided kernel attends
+        # over the frame axis in place, and the first-frame window keys are
+        # frame-axis rows — the [(B F),HW,C'] <-> [(B HW),F,C'] transpose
+        # pairs this module used to pay (4 full-tensor copies) are gone
+        # (measured ~44 ms/step of 'data formatting' on the ConsistI2V trace).
         normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tokens).astype(self.dtype)
-        # [(B F), HW, C'] -> [(B HW), F, C']
-        per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
-            b * hw, f, inner)
+        normed4 = normed.reshape(b, f, hw, inner)       # free reshape
         adj = None
         if self.augment:
-            ff_tokens = normed.reshape(b, f, hw, inner)[:, 0]
-            adj = _first_frame_adjacent_slices(ff_tokens, h_, w_)
-        attn_out = _TemporalAttention(
+            adj = _first_frame_adjacent_slices(normed4[:, 0], h_, w_)
+        attn_out4 = _TemporalAttention(
             self.heads, self.head_dim, self.rotary, self.dtype, self.pnp_chunks,
             name="attn1",
-        )(per_pixel, adjacent_slices=adj, inject=inject)
-        attn_out = attn_out.reshape(b, hw, f, inner).transpose(0, 2, 1, 3).reshape(
-            bf, hw, inner)
-        tokens = tokens + attn_out
+        )(normed4, adjacent_slices=adj, inject=inject)
+        tokens = tokens + attn_out4.reshape(bf, hw, inner)
 
-        # --- attn2: cross-attention to text (per pixel rows) ---------------
+        # --- attn2: cross-attention to text -------------------------------
+        # the text K/V are shared by every (frame, pixel) token, so this is
+        # ONE cross-attention over [B, F*HW, C'] rows — equivalent to the
+        # reference's per-pixel-row form (each row attends the same keys)
+        # but without the HW-fold transposes or the hw-times repeated K/V.
         normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tokens).astype(self.dtype)
-        per_pixel = normed.reshape(b, f, hw, inner).transpose(0, 2, 1, 3).reshape(
-            b * hw, f, inner)
+        normed4 = normed.reshape(b, f, hw, inner)       # free reshape
         if not self.rotary:
             # reference TemporalConditionalAttention.forward adds the
             # sinusoidal PE to hidden states for EVERY call, attn2 included
             # (videoldm_attention.py:577-580)
             pe = jnp.asarray(videoldm_positional_encoding(f, inner))
-            per_pixel = per_pixel + pe[None].astype(per_pixel.dtype)
-        ctx = jnp.repeat(context.astype(self.dtype), hw, axis=0)  # [(B HW), S, D]
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(per_pixel)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_v")(ctx)
+            normed4 = normed4 + pe[None, :, None, :].astype(normed4.dtype)
+        q4 = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(normed4)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="attn2_to_k")(context.astype(self.dtype))
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="attn2_to_v")(context.astype(self.dtype))
         if self.rotary:
             # RotaryEmbAttnProcessor2_0 rotates the QUERY unconditionally —
             # cross-attention included (videoldm_attention.py:774); keys stay
@@ -344,12 +357,13 @@ class VideoLDMTemporalTransformer(nn.Module):
             rot_dim = inner // 2
             freqs = jnp.asarray(rotary_freqs(rot_dim))
             q_pos = jnp.arange(f, dtype=jnp.float32)
-            q = q.at[..., :rot_dim].set(
-                apply_rotary(q[..., :rot_dim], rotary_angles(q_pos, freqs)))
-        cross = multi_head_attention(q, k, v, heads=self.heads)
+            q_ang = rotary_angles(q_pos, freqs)[None, :, None, :]
+            q4 = q4.at[..., :rot_dim].set(
+                apply_rotary(q4[..., :rot_dim], q_ang))
+        cross = multi_head_attention(q4.reshape(b, f * hw, inner), k, v,
+                                     heads=self.heads)
         cross = nn.Dense(inner, dtype=self.dtype, name="attn2_to_out")(cross)
-        cross = cross.reshape(b, hw, f, inner).transpose(0, 2, 1, 3).reshape(bf, hw, inner)
-        tokens = tokens + cross
+        tokens = tokens + cross.reshape(bf, hw, inner)
 
         normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(tokens).astype(self.dtype)
         tokens = tokens + FeedForward(dtype=self.dtype, name="ff")(normed)

@@ -365,9 +365,9 @@ def _temporal_attention_impl(
             scale = head_dim ** -0.5 if scale is None else scale
 
             def padh(x):
-                xh = x.reshape(b, s, hw, heads, head_dim)
+                xh = x.reshape(*x.shape[:3], heads, head_dim)
                 xh = jnp.pad(xh, ((0, 0),) * 4 + ((0, pad),))
-                return xh.reshape(b, s, hw, heads * (head_dim + pad))
+                return xh.reshape(*x.shape[:3], heads * (head_dim + pad))
 
             out = short_attention_frames(padh(query), padh(key), padh(value),
                                          heads=heads, scale=scale)
@@ -377,7 +377,8 @@ def _temporal_attention_impl(
                                       scale=scale)
 
     def t(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * hw, s, heads, head_dim)
+        return x.transpose(0, 2, 1, 3).reshape(b * hw, x.shape[1], heads,
+                                               head_dim)
 
     out = jax.nn.dot_product_attention(t(query), t(key), t(value),
                                        scale=scale, implementation="xla")

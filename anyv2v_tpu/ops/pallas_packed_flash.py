@@ -50,6 +50,16 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dot_precision(interpret: bool):
+    """Compiled Mosaic kernels need a CONCRETE precision: with
+    ``precision=None`` the dot inherits ``jax_default_matmul_precision``,
+    and under the test config ("highest") that requests the bf16 3-pass
+    emulation, which Mosaic cannot lower (MosaicError). Interpret mode (the
+    CPU test path) keeps ``None`` so kernel dots follow the session config
+    and match the fp32 references bit-tightly."""
+    return None if interpret else jax.lax.Precision.DEFAULT
+
+
 def packed_is_supported(heads: int, head_dim: int, sk: int) -> bool:
     """Shape class this kernel serves: whole heads tile 128-lane windows and
     the K/V window fits VMEM comfortably (Sk_pad x 128 bf16 x 2 tensors)."""
@@ -64,7 +74,7 @@ def packed_is_supported(heads: int, head_dim: int, sk: int) -> bool:
 
 def _wide_kv_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
                     scale: float, dh: int, skp: int, kv_valid: int,
-                    rebuild: bool):
+                    rebuild: bool, precision):
     """One (batch, window, q-block) program computing ALL G heads' scores in
     ONE MXU pass against a block-packed wide K/V.
 
@@ -104,7 +114,7 @@ def _wide_kv_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
     s = jax.lax.dot_general(
         q, kw_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=precision,
     )                                               # [bq, G*skp] fp32
     block_q = q.shape[0]
     g_heads = 128 // dh
@@ -124,7 +134,7 @@ def _wide_kv_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
     o_ref[0] = jax.lax.dot_general(
         p, vw_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
+        precision=precision,
     ).astype(o_ref.dtype)
 
 
@@ -155,7 +165,98 @@ def _wide_kv_call(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
     kv_spec = pl.BlockSpec((1, skp, 128), lambda b_, w, i: (b_, 0, w),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_wide_kv_kernel, scale=scale, dh=dh, skp=skp,
-                               kv_valid=kv_valid, rebuild=interpret)
+                               kv_valid=kv_valid, rebuild=interpret,
+                               precision=_dot_precision(interpret))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, sq, c), q.dtype),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((g_heads * skp, 128), q.dtype),
+            pltpu.VMEM((g_heads * skp, 128), q.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * g_heads * n_win * sq * skp * 128,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * q.dtype.itemsize,
+            transcendentals=b * g_heads * n_win * sq * skp,
+        ),
+    )(q, k, v)
+
+
+def _wide_t_kernel(q_ref, k_ref, v_ref, o_ref, kw_ref, vw_ref, *,
+                   scale: float, dh: int, skp: int, kv_valid: int,
+                   rebuild: bool, precision):
+    """Transposed-scores wide variant for SHORT K/V (cross-attention):
+    scores live as [G*skp, bq] so per-head blocks are SUBLANE slices —
+    skp only needs 16-row alignment (157 -> 160) instead of the
+    lane-aligned 128 multiple (157 -> 256) the untransposed layout needs,
+    cutting padded MXU + VPU work 1.6x at the text/image context length.
+    QK is one [G*skp,128] x [128,bq]^T pass; PV contracts the sublane dim
+    of both operands ([G*skp,bq]^T x [G*skp,128] — the dW-style orientation
+    the MXU runs natively)."""
+    if rebuild:
+        _build_wide(k_ref, v_ref, kw_ref, vw_ref, dh=dh, skp=skp)
+    else:
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            _build_wide(k_ref, v_ref, kw_ref, vw_ref, dh=dh, skp=skp)
+
+    q = (q_ref[0].astype(jnp.float32)
+         * (scale * 1.4426950408889634)).astype(q_ref.dtype)
+    s = jax.lax.dot_general(
+        kw_ref[:], q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                               # [G*skp, bq] fp32
+    block_q = q.shape[0]
+    g_heads = 128 // dh
+    masked = kv_valid < skp
+    if masked:
+        # mask only the 16-row aligned tail slice that contains pad rows
+        tail0 = (kv_valid // 16) * 16
+        row = jax.lax.broadcasted_iota(jnp.int32, (skp - tail0, block_q), 0)
+    parts = []
+    for g in range(g_heads):
+        sl = s[g * skp:(g + 1) * skp]
+        if masked:
+            tail = jnp.where(row + tail0 < kv_valid,
+                             sl[tail0:], -1e30)
+            sl = jnp.concatenate([sl[:tail0], tail], axis=0)
+        m = jnp.max(sl, axis=0, keepdims=True)
+        p = jnp.exp2(sl - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        parts.append((p * (1.0 / l)).astype(q_ref.dtype))
+    p = jnp.concatenate(parts, axis=0)              # [G*skp, bq] bf16
+    o_ref[0] = jax.lax.dot_general(
+        p, vw_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "dh", "block_q", "kv_valid", "interpret"),
+)
+def _wide_t_call(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
+    """Transposed wide variant: q [B, Sq_pad, C]; k/v [B, skp, C]
+    (skp % 16 == 0)."""
+    b, sq, c = q.shape
+    skp = k.shape[1]
+    n_win = c // 128
+    g_heads = 128 // dh
+    grid = (b, n_win, sq // block_q)
+    q_spec = pl.BlockSpec((1, block_q, 128), lambda b_, w, i: (b_, i, w),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, skp, 128), lambda b_, w, i: (b_, 0, w),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(_wide_t_kernel, scale=scale, dh=dh, skp=skp,
+                               kv_valid=kv_valid, rebuild=interpret,
+                               precision=_dot_precision(interpret))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, sq, c), q.dtype),
@@ -177,7 +278,7 @@ def _wide_kv_call(q, k, v, *, scale, dh, block_q, kv_valid, interpret):
 
 
 def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                         dh: int, kv_valid: int):
+                         dh: int, kv_valid: int, precision):
     """One (batch, window, q-block) program with the WHOLE K/V window
     resident and per-q-block scores in VMEM — no online-softmax state.
 
@@ -220,7 +321,7 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             qg, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=precision,
         )                                            # [bq, sk_pad] fp32
         if pad_tail:
             s = jnp.where(col < kv_valid, s, -1e30)
@@ -233,7 +334,7 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=precision,
         ) / l                                        # [bq, 128]
         return jnp.where(head_sel(g), pv, acc)
 
@@ -254,7 +355,7 @@ def _packed_whole_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 def _packed_whole_pipe_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                              dh: int, kv_valid: int):
+                              dh: int, kv_valid: int, precision):
     """Whole-K/V variant with a Python-unrolled 2-deep software pipeline:
     head g+1's QK matmul is issued before head g's softmax/PV consume, so
     Mosaic can overlap the MXU pass with the VPU softmax. Only two
@@ -283,7 +384,7 @@ def _packed_whole_pipe_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             qg, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=precision,
         )
         if pad_tail:
             s = jnp.where(col < kv_valid, s, -1e30)
@@ -296,7 +397,7 @@ def _packed_whole_pipe_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+            precision=precision,
         ) / l
         return jnp.where(head_sel(g), pv, acc)
 
@@ -310,7 +411,7 @@ def _packed_whole_pipe_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
-                   block_k: int, kv_len: int, kv_valid: int):
+                   block_k: int, kv_len: int, kv_valid: int, precision):
     """One (batch, window, q-block) program.
 
     q_ref: [1, block_q, 128]; k_ref/v_ref: [1, kv_len, 128] (whole window);
@@ -343,7 +444,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
             s = jax.lax.dot_general(
                 q, kg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=precision,
             ) * scale                                   # [bq, bk] fp32
             if masked_tail:                             # static per kb
                 s = jnp.where(kb * block_k + col < kv_valid, s, -1e30)
@@ -358,7 +459,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int,
             pv = jax.lax.dot_general(
                 p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=precision,
             )                                            # [bq, 128]
             acc = jnp.where(sel_o, acc * alpha + pv, acc)
             m = jnp.where(sel_o, jnp.broadcast_to(m_new, m.shape), m)
@@ -388,7 +489,8 @@ def _packed_call_whole(q, k, v, *, scale, dh, block_q, kv_valid, interpret,
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _packed_whole_pipe_kernel if pipe else _packed_whole_kernel,
-        scale=scale, dh=dh, kv_valid=kv_valid)
+        scale=scale, dh=dh, kv_valid=kv_valid,
+        precision=_dot_precision(interpret))
     g_heads = 128 // dh
     return pl.pallas_call(
         kernel,
@@ -424,7 +526,8 @@ def _packed_call(q, k, v, *, scale, dh, block_q, block_k, kv_valid,
     kv_spec = pl.BlockSpec((1, sk, 128), lambda b_, w, i: (b_, 0, w),
                            memory_space=pltpu.VMEM)
     kernel = functools.partial(_packed_kernel, scale=scale, dh=dh,
-                               block_k=block_k, kv_len=sk, kv_valid=kv_valid)
+                               block_k=block_k, kv_len=sk, kv_valid=kv_valid,
+                               precision=_dot_precision(interpret))
     g_heads = 128 // dh
     return pl.pallas_call(
         kernel,
@@ -486,6 +589,26 @@ def packed_flash_attention(
     # 10.2 ms L0 b=16) — both variants sit ~3x above the MXU floor there
     # with the matmul shape itself underutilized, so cross stays on the
     # whole-K/V loop.
+    # Transposed wide variant for short cross K/V: sublane-aligned per-head
+    # score blocks need only 16-row key padding (157 -> 160 vs 256), so
+    # padded MXU + softmax work shrinks 1.6x (A/B gated below).
+    skp_t = _ceil_to(sk, 16)
+    if variant == "wide_t" or (
+        variant == "auto" and sq != sk and sq > 256 and sk <= 256
+        and g_heads * skp_t <= 4096
+    ):
+        # measured (v5e, bf16): L0 cross 12.2 -> 7.9 ms b=16 / 20.2 -> 13.7
+        # b=48; L1 cross b=48 10.9 -> 9.3 (b=16 parity). Short-q cross
+        # (sq <= 256, L2) stays on the untransposed wide variant, which won
+        # there (7.0 vs 10.8 ms b=48).
+        block_q = min(512, _ceil_to(sq, 128))
+        sq_p = _ceil_to(sq, block_q)
+        out = _wide_t_call(pad_seq(q, sq_p), pad_seq(k, skp_t),
+                           pad_seq(v, skp_t),
+                           scale=float(scale), dh=dh, block_q=block_q,
+                           kv_valid=sk, interpret=interpret)
+        return out[:, :sq]
+
     wide = g_heads * sk_whole
     use_wide = wide <= 8192 and (sq == sk or sq <= 256)
     if (use_wide and variant in ("auto", "wide")) or variant == "wide":

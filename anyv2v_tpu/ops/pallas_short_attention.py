@@ -225,12 +225,17 @@ def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
     module-native [B, F, HW, C] token layout; rows of the flattened
     [S_pad*W, C] tile are ordered (frame, pixel), and the mask admits only
     same-pixel pairs — the frame axis never has to be transposed next to the
-    feature axis, so the [B,F,HW,C] <-> [B,HW,F,C] copies disappear."""
+    feature axis, so the [B,F,HW,C] <-> [B,HW,F,C] copies disappear.
+    k/v may carry MORE frame rows than q (Sk_pad > S_pad: ConsistI2V's
+    augmented first-frame keys appended along the frame axis) — the mask is
+    rectangular [tile_q, tile_k] then."""
     s_pad, w, c = q_ref.shape[1:]
+    sk_pad = k_ref.shape[1]
     tile = s_pad * w
+    tile_k = sk_pad * w
     q = q_ref[0].reshape(tile, c)
-    k = k_ref[0].reshape(tile, c)
-    v = v_ref[0].reshape(tile, c)
+    k = k_ref[0].reshape(tile_k, c)
+    v = v_ref[0].reshape(tile_k, c)
     n_masks = mask_ref.shape[0]
 
     def mask_h(h):
@@ -252,14 +257,20 @@ def _strided_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, heads: int,
         ).reshape(s_pad, w, head_dim)
 
 
-def _strided_mask(s_pad: int, w: int, s_valid: int) -> np.ndarray:
-    """[s_pad*w, s_pad*w] additive mask for (frame, pixel)-ordered rows:
+def _strided_mask(s_pad: int, w: int, s_valid: int,
+                  sk_pad: int | None = None,
+                  sk_valid: int | None = None) -> np.ndarray:
+    """[s_pad*w, sk_pad*w] additive mask for (frame, pixel)-ordered rows:
     row r = f*w + p attends key c iff same pixel (c % w == r % w) and the
-    key's frame (c // w) is a valid (non-padded) position."""
-    tile = s_pad * w
-    r = np.arange(tile)
-    same_px = (r[:, None] % w) == (r[None, :] % w)
-    valid_f = (r[None, :] // w) < s_valid
+    key's frame (c // w) is a valid (non-padded) position. Square
+    (sk_pad == s_pad) for plain temporal self-attention; rectangular for
+    augmented first-frame keys appended along the frame axis."""
+    sk_pad = s_pad if sk_pad is None else sk_pad
+    sk_valid = s_valid if sk_valid is None else sk_valid
+    r = np.arange(s_pad * w)
+    ck = np.arange(sk_pad * w)
+    same_px = (r[:, None] % w) == (ck[None, :] % w)
+    valid_f = (ck[None, :] // w) < sk_valid
     return np.where(same_px & valid_f, 0.0, -1e30).astype(np.float32)
 
 
@@ -267,9 +278,12 @@ def _strided_mask(s_pad: int, w: int, s_valid: int) -> np.ndarray:
     jax.jit, static_argnames=("heads", "head_dim", "scale", "w", "interpret"))
 def _strided_call(q, k, v, mask, *, heads, head_dim, scale, w, interpret):
     b, s_pad, hw, c = q.shape
+    sk_pad = k.shape[1]
     grid = (b, hw // w)
     spec = pl.BlockSpec((1, s_pad, w, c), lambda i, j: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, sk_pad, w, c), lambda i, j: (i, 0, j, 0),
+                           memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec(mask.shape, lambda i, j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     kernel = functools.partial(_strided_kernel, heads=heads,
@@ -279,13 +293,13 @@ def _strided_call(q, k, v, mask, *, heads, head_dim, scale, w, interpret):
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, hw, c), q.dtype),
         grid=grid,
-        in_specs=[spec, spec, spec, mask_spec],
+        in_specs=[spec, kv_spec, kv_spec, mask_spec],
         out_specs=spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n * s_pad * w * c,
+            flops=2 * 2 * n * sk_pad * w * c,
             bytes_accessed=3 * n * c * q.dtype.itemsize + 4 * n * c,
-            transcendentals=n * s_pad * w,
+            transcendentals=n * sk_pad * w,
         ),
     )(q, k, v, mask)
 
@@ -297,56 +311,60 @@ _STRIDED_MAX_SPAD = 32
 
 def short_attention_frames(
     q: jax.Array,    # [B, S, HW, C]  (module-native temporal token layout)
-    k: jax.Array,
-    v: jax.Array,
+    k: jax.Array,    # [B, Sk, HW, C] (Sk == S, or S < Sk <= S+16: augmented
+    v: jax.Array,    #                 first-frame keys on the frame axis)
     heads: int,
     scale: float | None = None,
-    bias: jax.Array | None = None,   # [heads, S, S] (shared across B and HW)
+    bias: jax.Array | None = None,   # [heads, S, Sk] (shared across B and HW)
 ) -> jax.Array:
     """Fused attention over the frame axis S of [B, S, HW, C] tokens without
     any layout transposes (S <= 32; larger S falls back to the packed kernel
-    on a transposed view). ``bias`` is a per-head additive score bias shared
-    by every pixel row (SEINE's T5 relative-position bias) — it folds into
-    the precomputed mask, so it costs nothing per row. Returns
+    on a transposed view). k/v may carry extra frame rows (ConsistI2V's
+    augmented 3x3 first-frame window appended along the frame axis) — the
+    precomputed mask goes rectangular. ``bias`` is a per-head additive score
+    bias shared by every pixel row (SEINE's T5 relative-position bias) — it
+    folds into the precomputed mask, so it costs nothing per row. Returns
     [B, S, HW, C]."""
     b, s, hw, c = q.shape
+    sk = k.shape[1]
     head_dim = c // heads
     if scale is None:
         scale = 1.0 / float(np.sqrt(head_dim))
 
     s_pad = _ceil_to(s, 8)
+    sk_pad = _ceil_to(sk, 8)
     w = max(8, 128 // s_pad)
     # the strided grid tiles the pixel axis in windows of w; a non-multiple
     # hw (odd latent grids) would leave the last partial tile unwritten —
     # route those shapes through the packed kernel's transposed view instead
-    if s_pad > _STRIDED_MAX_SPAD or hw % w != 0:
-        out = short_attention_bsc(
-            q.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
-            k.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
-            v.transpose(0, 2, 1, 3).reshape(b * hw, s, c),
-            heads=heads, scale=scale, bias=bias)
+    if s_pad > _STRIDED_MAX_SPAD or sk_pad > _STRIDED_MAX_SPAD + 16 \
+            or hw % w != 0:
+        def t(x):
+            return x.transpose(0, 2, 1, 3).reshape(b * hw, x.shape[1], c)
+
+        out = short_attention_bsc(t(q), t(k), t(v), heads=heads, scale=scale,
+                                  bias=bias)
         return out.reshape(b, hw, s, c).transpose(0, 2, 1, 3)
 
-    def pad(x):
-        if s_pad != s:
-            x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+    def pad(x, to):
+        if to != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0), (0, 0)))
         return x
 
-    mask = jnp.asarray(_strided_mask(s_pad, w, s))[None]  # [1, tile, tile]
+    mask = jnp.asarray(_strided_mask(s_pad, w, s, sk_pad, sk))[None]
     if bias is not None:
         # rows are (frame, pixel)-ordered: bias term at (r, c) is
         # bias[h, r//w, c//w] — a w x w block expansion of the padded bias
         bp = jnp.pad(bias.astype(jnp.float32),
-                     ((0, 0), (0, s_pad - s), (0, s_pad - s)))
-        tile = s_pad * w
+                     ((0, 0), (0, s_pad - s), (0, sk_pad - sk)))
         expanded = jnp.broadcast_to(
-            bp[:, :, None, :, None], (heads, s_pad, w, s_pad, w)
-        ).reshape(heads, tile, tile)
+            bp[:, :, None, :, None], (heads, s_pad, w, sk_pad, w)
+        ).reshape(heads, s_pad * w, sk_pad * w)
         mask = mask + expanded
     interpret = jax.default_backend() != "tpu"
-    out = _strided_call(pad(q), pad(k), pad(v), mask, heads=heads,
-                        head_dim=head_dim, scale=float(scale), w=w,
-                        interpret=interpret)
+    out = _strided_call(pad(q, s_pad), pad(k, sk_pad), pad(v, sk_pad), mask,
+                        heads=heads, head_dim=head_dim, scale=float(scale),
+                        w=w, interpret=interpret)
     return out[:, :s]
 
 

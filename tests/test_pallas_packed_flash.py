@@ -218,3 +218,27 @@ def test_attention_module_param_shapes_padded():
     params = attn.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 320)))
     assert params["params"]["to_q"]["kernel"].shape == (320, 64 * 8)
     assert params["params"]["to_out"]["kernel"].shape == (64 * 8, 320)
+
+
+@pytest.mark.parametrize(
+    "b,sq,sk,heads,d",
+    [
+        (2, 384, 157, 64, 8),     # L0 cross class (auto-routes wide_t)
+        (1, 300, 130, 64, 8),     # both seqs padded, 16-row key tail mask
+        (1, 384, 157, 32, 16),    # L1 cross class
+        (1, 512, 77, 16, 32),     # text-only context
+    ],
+)
+def test_wide_t_variant_matches_xla(b, sq, sk, heads, d, monkeypatch):
+    """Transposed-scores wide variant (sublane-aligned key padding) for the
+    short-K/V cross-attention class."""
+    monkeypatch.setenv("ANYV2V_PACKED_VARIANT", "wide_t")
+    rng = np.random.RandomState(6)
+    c = heads * d
+    q = jnp.asarray(rng.randn(b, sq, c), jnp.float32)
+    k = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    v = jnp.asarray(rng.randn(b, sk, c), jnp.float32)
+    out = packed_flash_attention(q, k, v, heads=heads)
+    ref = _ref(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

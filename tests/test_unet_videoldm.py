@@ -127,11 +127,11 @@ def test_positional_encoding_properties():
 
 
 def test_adjacent_slices_order_and_replicate_padding():
-    # 2x2 grid, 1 channel, known values
+    # 2x2 grid, 1 channel, known values; native layout [B, 8, HW, C]
     ff = jnp.asarray(np.arange(4, dtype=np.float32).reshape(1, 4, 1))  # [[0,1],[2,3]]
-    out = np.asarray(_first_frame_adjacent_slices(ff, 2, 2))[:, :, 0]
+    out = np.asarray(_first_frame_adjacent_slices(ff, 2, 2))[0, :, :, 0]
     # pixel (0,0)=0: replicate-padded neighborhood rows:
     # [[0,0,1],[0,*,1],[2,2,3]] minus center -> [0,0,1,0,1,2,2,3]
-    np.testing.assert_array_equal(out[0], [0, 0, 1, 0, 1, 2, 2, 3])
+    np.testing.assert_array_equal(out[:, 0], [0, 0, 1, 0, 1, 2, 2, 3])
     # pixel (1,1)=3: [[0,1,1],[2,*,3],[2,3,3]] -> [0,1,1,2,3,2,3,3]
-    np.testing.assert_array_equal(out[3], [0, 1, 1, 2, 3, 2, 3, 3])
+    np.testing.assert_array_equal(out[:, 3], [0, 1, 1, 2, 3, 2, 3, 3])

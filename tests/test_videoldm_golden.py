@@ -149,6 +149,10 @@ def test_rotary_temporal_attention_golden():
     params = {"params": C._attn(sd_pref(t), "m")}
     m = _TemporalAttention(heads=heads, head_dim=hd, rotary=True,
                            dtype=jnp.float32, pnp_chunks=2)
+    # the module's native layout is [B, F, HW, C]; each oracle row is one
+    # (batch, pixel) problem -> feed it as HW=1 pixels
     got = m.apply(jax.tree_util.tree_map(jnp.asarray, params),
-                  jnp.asarray(x.numpy()), adjacent_slices=jnp.asarray(adj.numpy()))
-    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=2e-5)
+                  jnp.asarray(x.numpy())[:, :, None, :],
+                  adjacent_slices=jnp.asarray(adj.numpy())[:, :, None, :])
+    np.testing.assert_allclose(np.asarray(got)[:, :, 0], want.numpy(),
+                               rtol=1e-4, atol=2e-5)
