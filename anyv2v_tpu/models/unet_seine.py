@@ -127,7 +127,31 @@ class _SeineTransformerBlock(nn.Module):
         x = x + nn.Dense(c, dtype=self.dtype, name="attn2_to_out")(out)
 
         # --- attn_temp: frames as tokens per pixel + T5 rel-pos bias -------
-        h = x.reshape(b, f, hw, c).transpose(0, 2, 1, 3).reshape(b * hw, f, c)
+        # Inside a manual-SPMD region (frames sharded over a mesh axis —
+        # parallel/mesh.py) this is the block's only frame-coupled op: ONE
+        # all_to_all frames->pixels hoists here (everything below is
+        # pixel-local once all frames are held), reversed after temp_to_out.
+        # Deep levels whose pixel count doesn't divide the mesh all-gather
+        # the (tiny) frame axis and keep the local frame slice instead.
+        from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
+                                     gather_frames, pixels_to_frames)
+
+        ctx_manual = current_manual_axis()
+        sharded = ctx_manual is not None and ctx_manual[1] > 1
+        hoisted = (sharded and hw % ctx_manual[1] == 0
+                   and hw // ctx_manual[1] >= 8)
+        gathered = sharded and not hoisted
+        x4 = x.reshape(b, f, hw, c)
+        f_att, hw_att = f, hw
+        if hoisted:
+            name, n = ctx_manual
+            x4 = frames_to_pixels(x4, name, 1, 2)   # [b, F_glob, hw/n, c]
+            f_att, hw_att = f * n, hw // n
+        elif gathered:
+            name, n = ctx_manual
+            x4 = gather_frames(x4, name, 1)         # [b, F_glob, hw, c]
+            f_att = f * n
+        h = x4.transpose(0, 2, 1, 3).reshape(b * hw_att, f_att, c)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_temp")(h).astype(self.dtype)
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_q")(h)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_k")(h)
@@ -146,14 +170,14 @@ class _SeineTransformerBlock(nn.Module):
         if rot_dim >= 2:
             from ..ops.rotary import apply_rotary, rotary_angles, rotary_freqs
 
-            ang = rotary_angles(jnp.arange(f, dtype=jnp.float32),
+            ang = rotary_angles(jnp.arange(f_att, dtype=jnp.float32),
                                 jnp.asarray(rotary_freqs(rot_dim)))[:, None, :]
 
             def _rot(z):
-                zh = z.reshape(b * hw, f, self.heads, self.head_dim)
+                zh = z.reshape(b * hw_att, f_att, self.heads, self.head_dim)
                 zh = zh.at[..., :rot_dim].set(
                     apply_rotary(zh[..., :rot_dim], ang))
-                return zh.reshape(b * hw, f, inner)
+                return zh.reshape(b * hw_att, f_att, inner)
 
             q, k = _rot(q), _rot(k)
         bias_table = self.param(
@@ -162,12 +186,18 @@ class _SeineTransformerBlock(nn.Module):
             (self.relpos_num_buckets, self.heads),
         )
         bias = relative_position_bias(
-            bias_table, f, f, num_buckets=self.relpos_num_buckets,
+            bias_table, f_att, f_att, num_buckets=self.relpos_num_buckets,
             max_distance=self.relpos_max_distance,
-        )[None]  # [1, heads, F, F]
+        )[None]  # [1, heads, F_att, F_att]
         out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
         out = nn.Dense(c, dtype=self.dtype, name="temp_to_out")(out)
-        x = x + out.reshape(b, hw, f, c).transpose(0, 2, 1, 3).reshape(bf, hw, c)
+        out4 = out.reshape(b, hw_att, f_att, c).transpose(0, 2, 1, 3)
+        if hoisted:
+            out4 = pixels_to_frames(out4, name, 1, 2)  # [b, f, hw, c]
+        elif gathered:
+            i = jax.lax.axis_index(name)
+            out4 = jax.lax.dynamic_slice_in_dim(out4, i * f, f, axis=1)
+        x = x + out4.reshape(bf, hw, c)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h)

@@ -90,30 +90,114 @@ def videoldm_positional_encoding(length: int, dim: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+def _manual_seq_ctx():
+    """(axis_name, n) inside a >1-device manual-SPMD region, else None."""
+    from ..parallel.mesh import current_manual_axis
+
+    ctx = current_manual_axis()
+    if ctx is None or ctx[1] <= 1:
+        return None
+    return ctx
+
+
+def _assemble_true_sequence(x4, f0row, name, n):
+    """Build the TRUE global frame sequence from the chip-local layout.
+
+    ConsistI2V's "concat" conditioning rides the UNet as frame 0 of an
+    F+1-frame sequence; inside the manual-SPMD region (frames sharded, n
+    chips) the local layout is [B, f0row + F/n, P, C] where row 0 (when
+    ``f0row`` = 1) is the REPLICATED conditioning frame — a plain all_to_all
+    of the whole local axis would interleave n copies of it. Returns
+    (seq, pixel_mode):
+
+    - pixel_mode=True: [B, f0row + F, P/n, C] — ONE all_to_all of the real
+      frames to pixel sharding, the replicated frame's local pixel slice
+      prepended (frame axis complete, pixels split);
+    - pixel_mode=False (tiny deep-level grids whose pixel count doesn't
+      divide the mesh): [B, f0row + F, P, C] via an all-gather of the
+      (short) real frame axis."""
+    from ..parallel.mesh import (frames_to_pixels, gather_frames,
+                                 local_pixel_slice)
+
+    p = x4.shape[2]
+    pixel_mode = p % n == 0 and p // n >= 8
+    if pixel_mode:
+        seq = frames_to_pixels(x4[:, f0row:], name, 1, 2)
+        if f0row:
+            f0 = local_pixel_slice(x4[:, :f0row], name, n, 2)
+            seq = jnp.concatenate([f0, seq], axis=1)
+        return seq, True
+    seq = gather_frames(x4[:, f0row:], name, 1)
+    if f0row:
+        seq = jnp.concatenate([x4[:, :f0row], seq], axis=1)
+    return seq, False
+
+
+def _disassemble_true_sequence(out, f0row, name, n, pixel_mode, f_real_loc):
+    """Inverse of :func:`_assemble_true_sequence`: back to the chip-local
+    [B, f0row + F/n, P, C] layout. The conditioning frame's updated row is
+    re-replicated (all-gather of ONE frame's pixels in pixel mode; in gather
+    mode every chip already computed the identical full-pixel row)."""
+    from ..parallel.mesh import gather_pixels, pixels_to_frames
+
+    if pixel_mode:
+        real = pixels_to_frames(out[:, f0row:], name, 1, 2)
+        if f0row:
+            f0 = gather_pixels(out[:, :f0row], name, 2)
+            real = jnp.concatenate([f0, real], axis=1)
+        return real
+    i = jax.lax.axis_index(name)
+    real = jax.lax.dynamic_slice_in_dim(out[:, f0row:], i * f_real_loc,
+                                        f_real_loc, axis=1)
+    if f0row:
+        real = jnp.concatenate([out[:, :f0row], real], axis=1)
+    return real
+
+
 class AlphaTemporalResnet(nn.Module):
     """alpha-gated temporal resnet (two 3x1x1 conv3d) on [B, F, H, W, C].
 
     (The reference class also creates a ``time_emb_proj`` that is never fed a
-    temb at runtime — omitted here; the weight converter skips it.)"""
+    temb at runtime — omitted here; the weight converter skips it.)
+
+    ``first_frame_replicated``: concat-mode layout flag for the manual-SPMD
+    region (frame 0 = replicated conditioning frame — see
+    :func:`_assemble_true_sequence`)."""
 
     channels: int
     groups: int = 32
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    first_frame_replicated: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         from ..ops.pallas_temporal_conv import groupnorm_silu_temporal_conv3
         from .layers import _GroupNormParams, _TemporalConv3Params
 
-        h = x
+        ctx_m = _manual_seq_ctx()
+        if ctx_m is None:
+            h = x
+        else:
+            # manual-SPMD region: assemble the true frame sequence ONCE
+            # around both convs (frame-coupled + the group statistics must
+            # count the conditioning frame exactly once)
+            name, n = ctx_m
+            f0row = 1 if self.first_frame_replicated else 0
+            b, f_loc = x.shape[:2]
+            x4 = x.reshape(b, f_loc, -1, x.shape[-1])
+            h, pixel_mode = _assemble_true_sequence(x4, f0row, name, n)
         for i in (1, 2):
             gamma, beta = _GroupNormParams(name=f"norm{i}")(h.shape[-1])
             kernel, bias = _TemporalConv3Params(
                 self.channels, name=f"conv{i}")(h.shape[-1])
             h = groupnorm_silu_temporal_conv3(
                 h, gamma, beta, kernel, bias, self.groups, self.eps,
-                self.dtype)
+                self.dtype, pixel_sharded=ctx_m is not None)
+        if ctx_m is not None:
+            h = _disassemble_true_sequence(h, f0row, name, n, pixel_mode,
+                                           f_loc - f0row)
+            h = h.reshape(x.shape[:-1] + (h.shape[-1],))
         out = x + h
         alpha = jnp.clip(self.param("alpha", nn.initializers.ones, (1,)), 0.0, 1.0)
         return (alpha * x + (1.0 - alpha) * out).astype(x.dtype)
@@ -213,11 +297,14 @@ class _TemporalAttention(nn.Module):
     pnp_chunks: int
 
     @nn.compact
-    def __call__(self, x, adjacent_slices=None, inject=None):
+    def __call__(self, x, adjacent_slices=None, inject=None,
+                 pixel_sharded=False):
         # x: [B, F, HW, C] (module-NATIVE layout — no [(B HW), F, C]
         # transposes; the strided kernel attends over the frame axis in
         # place); adjacent_slices: [B, 8, HW, C] first-frame window keys
-        # appended along the frame axis.
+        # appended along the frame axis. pixel_sharded: inside a manual-SPMD
+        # region the caller (VideoLDMTemporalTransformer) already assembled
+        # the true global frame sequence — suppress the op-level reshard.
         inner = self.heads * self.head_dim
         b, f, hw, c = x.shape
 
@@ -266,7 +353,8 @@ class _TemporalAttention(nn.Module):
             k = k.at[..., :rot_dim].set(
                 apply_rotary(k[..., :rot_dim], k_ang))
 
-        out = temporal_attention(q, k, v, heads=self.heads)
+        out = temporal_attention(q, k, v, heads=self.heads,
+                                 pixel_sharded=pixel_sharded)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
@@ -299,6 +387,9 @@ class VideoLDMTemporalTransformer(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     pnp_chunks: int = 4
+    # concat-mode layout flag for the manual-SPMD region: frame 0 of the
+    # local axis is the REPLICATED conditioning frame (_assemble_true_sequence)
+    first_frame_replicated: bool = False
 
     @nn.compact
     def __call__(self, x, context, inject=None):
@@ -323,13 +414,42 @@ class VideoLDMTemporalTransformer(nn.Module):
         # (measured ~44 ms/step of 'data formatting' on the ConsistI2V trace).
         normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(tokens).astype(self.dtype)
         normed4 = normed.reshape(b, f, hw, inner)       # free reshape
+        ctx_m = _manual_seq_ctx()
+        f0row = 1 if (ctx_m is not None and self.first_frame_replicated) else 0
         adj = None
         if self.augment:
-            adj = _first_frame_adjacent_slices(normed4[:, 0], h_, w_)
-        attn_out4 = _TemporalAttention(
+            if ctx_m is not None and f0row == 0:
+                # global frame 0 lives on one chip: gather the (1-frame)
+                # slice so every chip holds the full-pixel first frame
+                from ..parallel.mesh import gather_frames
+
+                ff_tokens = gather_frames(normed4[:, :1], ctx_m[0], 1)[:, 0]
+            else:
+                # unsharded, or concat mode where row 0 is the replicated
+                # conditioning frame
+                ff_tokens = normed4[:, 0]
+            adj = _first_frame_adjacent_slices(ff_tokens, h_, w_)
+        attn = _TemporalAttention(
             self.heads, self.head_dim, self.rotary, self.dtype, self.pnp_chunks,
             name="attn1",
-        )(normed4, adjacent_slices=adj, inject=inject)
+        )
+        if ctx_m is None:
+            attn_out4 = attn(normed4, adjacent_slices=adj, inject=inject)
+        else:
+            # manual-SPMD region: assemble the true global frame sequence
+            # (see _assemble_true_sequence), attend with all frames local,
+            # reverse — positions/PE inside see the global frame axis
+            name_m, n_m = ctx_m
+            seq, pixel_mode = _assemble_true_sequence(normed4, f0row,
+                                                      name_m, n_m)
+            if adj is not None and pixel_mode:
+                from ..parallel.mesh import local_pixel_slice
+
+                adj = local_pixel_slice(adj, name_m, n_m, 2)
+            attn_seq = attn(seq, adjacent_slices=adj, inject=inject,
+                            pixel_sharded=True)
+            attn_out4 = _disassemble_true_sequence(
+                attn_seq, f0row, name_m, n_m, pixel_mode, f - f0row)
         tokens = tokens + attn_out4.reshape(bf, hw, inner)
 
         # --- attn2: cross-attention to text -------------------------------
@@ -339,11 +459,23 @@ class VideoLDMTemporalTransformer(nn.Module):
         # but without the HW-fold transposes or the hw-times repeated K/V.
         normed = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(tokens).astype(self.dtype)
         normed4 = normed.reshape(b, f, hw, inner)       # free reshape
+        # frame positions are GLOBAL: inside the manual-SPMD region this
+        # chip's rows are [f0?, f0row + i*F/n .. ] of the true sequence
+        if ctx_m is None:
+            f_glob = f
+            pos = jnp.arange(f)
+        else:
+            f_real_loc = f - f0row
+            f_glob = f0row + f_real_loc * ctx_m[1]
+            i_dev = jax.lax.axis_index(ctx_m[0])
+            pos = jnp.concatenate([
+                jnp.arange(f0row),
+                f0row + i_dev * f_real_loc + jnp.arange(f_real_loc)])
         if not self.rotary:
             # reference TemporalConditionalAttention.forward adds the
             # sinusoidal PE to hidden states for EVERY call, attn2 included
             # (videoldm_attention.py:577-580)
-            pe = jnp.asarray(videoldm_positional_encoding(f, inner))
+            pe = jnp.asarray(videoldm_positional_encoding(f_glob, inner))[pos]
             normed4 = normed4 + pe[None, :, None, :].astype(normed4.dtype)
         q4 = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn2_to_q")(normed4)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
@@ -356,8 +488,8 @@ class VideoLDMTemporalTransformer(nn.Module):
             # unrotated (qlen != klen, no key_pos_idx).
             rot_dim = inner // 2
             freqs = jnp.asarray(rotary_freqs(rot_dim))
-            q_pos = jnp.arange(f, dtype=jnp.float32)
-            q_ang = rotary_angles(q_pos, freqs)[None, :, None, :]
+            q_ang = rotary_angles(pos.astype(jnp.float32),
+                                  freqs)[None, :, None, :]
             q4 = q4.at[..., :rot_dim].set(
                 apply_rotary(q4[..., :rot_dim], q_ang))
         cross = multi_head_attention(q4.reshape(b, f * hw, inner), k, v,
@@ -475,7 +607,7 @@ class VideoLDMUNet(nn.Module):
                 augment=cfg.augment_temporal_attention,
                 rotary=cfg.temp_pos_embedding == "rotary",
                 groups=cfg.norm_num_groups, dtype=dt, pnp_chunks=cfg.pnp_chunks,
-                name=name,
+                first_frame_replicated=concat_mode, name=name,
             )
 
         # --- down ----------------------------------------------------------
@@ -492,6 +624,7 @@ class VideoLDMUNet(nn.Module):
                 if cfg.use_temporal:
                     x = fold_frames(AlphaTemporalResnet(
                         ch, groups=cfg.norm_num_groups, dtype=dt,
+                        first_frame_replicated=concat_mode,
                         name=f"down_{i}_conv3d_{j}")(unfold_frames(x, F)))
                 if is_cross:
                     x = spatial_tr(f"down_{i}_attn_{j}", ch, False)(x, context)
@@ -509,15 +642,17 @@ class VideoLDMUNet(nn.Module):
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                           name="mid_resnet_0")(x, emb)
         if cfg.use_temporal:
-            x = fold_frames(AlphaTemporalResnet(ch, groups=cfg.norm_num_groups,
-                                                dtype=dt, name="mid_conv3d_0")(
+            x = fold_frames(AlphaTemporalResnet(
+                ch, groups=cfg.norm_num_groups, dtype=dt,
+                first_frame_replicated=concat_mode, name="mid_conv3d_0")(
                 unfold_frames(x, F)))
         x = spatial_tr("mid_attn", ch, False)(x, context)
         x = ResnetBlock2D(ch, groups=cfg.norm_num_groups, dtype=dt,
                           name="mid_resnet_1")(x, emb)
         if cfg.use_temporal:
-            x = fold_frames(AlphaTemporalResnet(ch, groups=cfg.norm_num_groups,
-                                                dtype=dt, name="mid_conv3d_1")(
+            x = fold_frames(AlphaTemporalResnet(
+                ch, groups=cfg.norm_num_groups, dtype=dt,
+                first_frame_replicated=concat_mode, name="mid_conv3d_1")(
                 unfold_frames(x, F)))
 
         # --- up --------------------------------------------------------------
@@ -538,6 +673,7 @@ class VideoLDMUNet(nn.Module):
                 if cfg.use_temporal:
                     x = fold_frames(AlphaTemporalResnet(
                         ch, groups=cfg.norm_num_groups, dtype=dt,
+                        first_frame_replicated=concat_mode,
                         name=f"up_{i}_conv3d_{j}")(unfold_frames(x, F)))
                 if is_cross:
                     target = pnp_on and (i, j) in attn_targets

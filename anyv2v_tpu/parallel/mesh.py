@@ -126,3 +126,21 @@ def gather_frames(x: jax.Array, name: str, frame_axis: int) -> jax.Array:
     divide the mesh — deep UNet levels with tiny grids, where the tensors
     are small enough that gathering is cheap)."""
     return jax.lax.all_gather(x, name, axis=frame_axis, tiled=True)
+
+
+def gather_pixels(x: jax.Array, name: str, pixel_axis: int) -> jax.Array:
+    """All-gather the pixel axis — used to re-replicate the conditioning
+    frame's updated activations after a frame-coupled op computed it
+    pixel-sharded (ConsistI2V concat mode: frame 0 rides REPLICATED through
+    the sharded UNet; volume = one frame per temporal layer)."""
+    return jax.lax.all_gather(x, name, axis=pixel_axis, tiled=True)
+
+
+def local_pixel_slice(x: jax.Array, name: str, n: int,
+                      pixel_axis: int) -> jax.Array:
+    """This chip's contiguous pixel-shard slice of a REPLICATED tensor —
+    the slice that aligns with :func:`frames_to_pixels`' tiled all_to_all
+    split (chip i owns pixels [i*P/n, (i+1)*P/n))."""
+    p_loc = x.shape[pixel_axis] // n
+    i = jax.lax.axis_index(name)
+    return jax.lax.dynamic_slice_in_dim(x, i * p_loc, p_loc, axis=pixel_axis)

@@ -72,10 +72,12 @@ def rescale_noise_cfg(noise_cfg, noise_pred_text, guidance_rescale: float):
 class ConsistI2VPipeline(LatentCodecMixin):
     """``mesh`` (optional): a ('cfg', 'frame') mesh. Video state tensors
     shard over 'frame'; the first-frame conditioning latent ([B, 1, h, w, 4])
-    is replicated — the UNet's frame-axis concat (reference
-    ``videoldm_unet.py:712-714``) then prepends a replicated frame 0 to the
-    sharded frames 1..F, exactly the SURVEY §7 'replicate frame 0, shard the
-    rest' decision; XLA places the F+1 axis accordingly."""
+    is replicated — the UNet forward runs as ONE manual-SPMD shard_map
+    region (:meth:`_apply_unet`): the concat (reference
+    ``videoldm_unet.py:712-714``) prepends the replicated frame 0 INSIDE the
+    region and the temporal ops assemble the true F+1 sequence around their
+    explicit all_to_alls — the SURVEY §7 'replicate frame 0, shard the rest'
+    decision."""
 
     unet: VideoLDMUNet
     vae: AutoencoderKL
@@ -103,8 +105,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
             n_steps = total_steps
 
             def body(x, t):
-                eps = self.unet.apply(
-                    params["unet"],
+                eps = self._apply_unet(
+                    self.unet, params["unet"],
                     sample=x,
                     timestep=t,
                     encoder_hidden_states=text_embeds,
@@ -159,6 +161,67 @@ class ConsistI2VPipeline(LatentCodecMixin):
             return self.unet
         return VideoLDMUNet(dataclasses.replace(self.unet.config, pnp_chunks=n_chunks))
 
+    def _apply_unet(self, unet, params, *, sample, timestep,
+                    encoder_hidden_states, first_frame_latents, frame_stride,
+                    pnp_flags=None):
+        """One UNet forward. With a mesh, the whole forward runs as ONE
+        jax.shard_map region (manual SPMD, same design as
+        ``I2VGenPipeline._apply_unet``): the REAL frames shard; the
+        conditioning frame (``first_frame_latents``) enters REPLICATED and
+        rides the whole UNet replicated — concat mode prepends it INSIDE the
+        region, the temporal ops assemble the true F+1 sequence around their
+        all_to_alls, and the spatial first-frame K/V read the locally-held
+        row 0 (``models/unet_videoldm._assemble_true_sequence``).
+        ``pnp_flags``: optional (conv, spatial, temporal) traced bools.
+        Falls back to the plain apply when the mesh is absent, frames don't
+        divide, or ANYV2V_MANUAL_SPMD=0."""
+        import os
+
+        mesh = self.mesh
+        n = mesh.shape["frame"] if mesh is not None else 1
+        F = sample.shape[1]
+        use_manual = (
+            mesh is not None and n > 1 and F % n == 0
+            and mesh.shape.get("cfg", 1) == 1
+            and os.environ.get("ANYV2V_MANUAL_SPMD", "1") != "0"
+        )
+
+        def mk_pnp(flags):
+            return PnPFlags(conv=flags[0], spatial=flags[1],
+                            temporal=flags[2])
+
+        if not use_manual:
+            kw = {"pnp": mk_pnp(pnp_flags)} if pnp_flags is not None else {}
+            return unet.apply(
+                params, sample=sample, timestep=timestep,
+                encoder_hidden_states=encoder_hidden_states,
+                first_frame_latents=first_frame_latents,
+                frame_stride=frame_stride, **kw)
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import manual_axis
+
+        vspec = P(None, "frame", None, None, None)
+        has_pnp = pnp_flags is not None
+        flags = pnp_flags if has_pnp else ()
+
+        def local(params, sample, timestep, text, ffl, frame_stride, flags):
+            with manual_axis("frame", n):
+                kw = {"pnp": mk_pnp(flags)} if has_pnp else {}
+                return unet.apply(
+                    params, sample=sample, timestep=timestep,
+                    encoder_hidden_states=text, first_frame_latents=ffl,
+                    frame_stride=frame_stride, **kw)
+
+        rep = P()
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(rep, vspec, rep, rep, rep, rep, rep),
+            out_specs=vspec, check_vma=False,
+        )(params, sample, timestep, encoder_hidden_states,
+          first_frame_latents, frame_stride, flags)
+
     @cached_property
     def _sample_pnp(self):
         from functools import partial
@@ -182,14 +245,14 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 else:
                     inp = jnp.concatenate([src, x, x, x], axis=0)
                     ffl = jnp.concatenate([ff_src, cache_ff, ff_edit, ff_edit], axis=0)
-                eps_all = unet.apply(
-                    params["unet"],
+                eps_all = self._apply_unet(
+                    unet, params["unet"],
                     sample=inp,
                     timestep=t,
                     encoder_hidden_states=text_all,
                     first_frame_latents=ffl,
                     frame_stride=frame_stride,
-                    pnp=PnPFlags(conv=inj_conv, spatial=inj_sp, temporal=inj_tmp),
+                    pnp_flags=(inj_conv, inj_sp, inj_tmp),
                 ).astype(jnp.float32)
                 if mode is None:
                     _s, eps = jnp.split(eps_all, 2, axis=0)
@@ -234,8 +297,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 else:
                     inp = jnp.concatenate([x, x, x], axis=0)
                     ffl = jnp.concatenate([cache_ff, ff_edit, ff_edit], axis=0)
-                eps_all = unet.apply(
-                    params["unet"],
+                eps_all = self._apply_unet(
+                    unet, params["unet"],
                     sample=inp,
                     timestep=t,
                     encoder_hidden_states=text_all,
@@ -366,8 +429,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
                     # rows [uncond, img, both]; the image-uncond row uses the
                     # NOISY frame 0 split off the initial noise (:654-661)
                     ffl = jnp.concatenate([noisy_ff, ff, ff], axis=0)
-                eps_all = unet.apply(
-                    params["unet"], sample=inp, timestep=t,
+                eps_all = self._apply_unet(
+                    unet, params["unet"], sample=inp, timestep=t,
                     encoder_hidden_states=text_all, first_frame_latents=ffl,
                     frame_stride=frame_stride,
                 ).astype(jnp.float32)

@@ -104,6 +104,58 @@ class SeinePipeline(LatentCodecMixin):
     def _nine_channel(self, x, mask, masked):
         return jnp.concatenate([x, mask.astype(x.dtype), masked.astype(x.dtype)], axis=-1)
 
+    def _apply_unet(self, params, *, sample, timestep, encoder_hidden_states,
+                    pnp_flags=None):
+        """One UNet forward. With a mesh, the whole forward runs as ONE
+        jax.shard_map region (manual SPMD, same design as
+        ``I2VGenPipeline._apply_unet``): frames sharded, spatial/cross
+        attention + resnets frame-local, the temporal attention all_to_alls
+        frames<->pixels inside ``_SeineTransformerBlock``. ``pnp_flags``:
+        optional (conv, spatial, cross, temporal) traced bools. Falls back
+        to the plain apply when the mesh is absent, frames don't divide, or
+        ANYV2V_MANUAL_SPMD=0."""
+        import os
+
+        mesh = self.mesh
+        n = mesh.shape["frame"] if mesh is not None else 1
+        F = sample.shape[1]
+        use_manual = (
+            mesh is not None and n > 1 and F % n == 0
+            and mesh.shape.get("cfg", 1) == 1
+            and os.environ.get("ANYV2V_MANUAL_SPMD", "1") != "0"
+        )
+
+        def mk_pnp(flags):
+            return SeinePnPFlags(conv=flags[0], spatial=flags[1],
+                                 cross=flags[2], temporal=flags[3])
+
+        if not use_manual:
+            kw = {"pnp": mk_pnp(pnp_flags)} if pnp_flags is not None else {}
+            return self.unet.apply(
+                params, sample=sample, timestep=timestep,
+                encoder_hidden_states=encoder_hidden_states, **kw)
+
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import manual_axis
+
+        vspec = P(None, "frame", None, None, None)
+        has_pnp = pnp_flags is not None
+        flags = pnp_flags if has_pnp else ()
+
+        def local(params, sample, timestep, text, flags):
+            with manual_axis("frame", n):
+                kw = {"pnp": mk_pnp(flags)} if has_pnp else {}
+                return self.unet.apply(
+                    params, sample=sample, timestep=timestep,
+                    encoder_hidden_states=text, **kw)
+
+        rep = P()
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(rep, vspec, rep, rep, rep),
+            out_specs=vspec, check_vma=False,
+        )(params, sample, timestep, encoder_hidden_states, flags)
+
     # -- inversion ---------------------------------------------------------
 
     @cached_property
@@ -114,7 +166,7 @@ class SeinePipeline(LatentCodecMixin):
 
             def body(x, t):
                 inp = self._nine_channel(x, mask, masked)
-                eps = self.unet.apply(
+                eps = self._apply_unet(
                     params["unet"], sample=inp, timestep=t,
                     encoder_hidden_states=text,
                 ).astype(jnp.float32)
@@ -175,11 +227,10 @@ class SeinePipeline(LatentCodecMixin):
                 src_in = self._nine_channel(src, mask, masked_src)
                 x_in = self._nine_channel(x, mask, masked_edit)
                 inp = jnp.concatenate([src_in, x_in, x_in], axis=0)
-                eps3 = self.unet.apply(
+                eps3 = self._apply_unet(
                     params["unet"], sample=inp, timestep=t,
                     encoder_hidden_states=text_all,
-                    pnp=SeinePnPFlags(conv=inj_conv, spatial=inj_sp,
-                                      cross=inj_x, temporal=inj_tmp),
+                    pnp_flags=(inj_conv, inj_sp, inj_x, inj_tmp),
                 ).astype(jnp.float32)
                 # SEINE order: [src, cond, uncond] (run_pnp_edit.py:183-215)
                 _s, e_cond, e_uncond = jnp.split(eps3, 3, axis=0)
@@ -207,7 +258,7 @@ class SeinePipeline(LatentCodecMixin):
                 t, t_prev, noise = step
                 x_in = self._nine_channel(x, mask, masked_edit)
                 inp = jnp.concatenate([x_in, x_in], axis=0)
-                eps2 = self.unet.apply(
+                eps2 = self._apply_unet(
                     params["unet"], sample=inp, timestep=t,
                     encoder_hidden_states=text_all,
                 ).astype(jnp.float32)

@@ -198,8 +198,15 @@ def main():
         print(json.dumps(rec), flush=True)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH_BACKBONES.json")
+    # subset runs (argv) merge into the existing record instead of dropping
+    # the other backbone's entry
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     _log(f"wrote {out}")
 
 

@@ -120,25 +120,53 @@ def main():
     args = ap.parse_args()
 
     from anyv2v_tpu.models.unet_i2vgen import I2VGenUNet
+    from anyv2v_tpu.models.unet_seine import SeineUNet
+    from anyv2v_tpu.models.unet_videoldm import VideoLDMUNet
     from anyv2v_tpu.parallel.mesh import make_mesh
-    from anyv2v_tpu.utils.model_zoo import ARCHS
+    from anyv2v_tpu.utils.model_zoo import (ARCHS, CONSISTI2V_ARCHS,
+                                            SEINE_ARCHS)
 
-    cfg = ARCHS[args.arch]["unet"]
+    all_archs = {**ARCHS, **CONSISTI2V_ARCHS, **SEINE_ARCHS}
+    cfg = all_archs[args.arch]["unet"]
     cfg = type(cfg)(**{**cfg.__dict__, "dtype": jnp.bfloat16})
-    unet = I2VGenUNet(cfg)
     mesh = make_mesh(n_cfg=1, n_frame=8)
 
     B, F, hw = args.batch, args.frames, args.hw
-    kw = dict(
-        sample=jax.ShapeDtypeStruct((B, F, hw, hw, 4), jnp.float32),
-        timestep=jax.ShapeDtypeStruct((), jnp.int32),
-        encoder_hidden_states=jax.ShapeDtypeStruct(
-            (B, 77, cfg.cross_attention_dim), jnp.float32),
-        fps=jax.ShapeDtypeStruct((), jnp.int32),
-        image_latents=jax.ShapeDtypeStruct((B, F, hw, hw, 4), jnp.float32),
-        image_embeddings=jax.ShapeDtypeStruct((B, 1, cfg.cross_attention_dim),
-                                              jnp.float32),
-    )
+    family = ("consisti2v" if args.arch in CONSISTI2V_ARCHS
+              else "seine" if args.arch in SEINE_ARCHS else "i2vgen")
+    if family == "consisti2v":
+        unet = VideoLDMUNet(cfg)
+        # sample = the F REAL (denoised) frames; the conditioning frame
+        # enters replicated (ConsistI2VPipeline._apply_unet)
+        kw = dict(
+            sample=jax.ShapeDtypeStruct((B, F, hw, hw, 4), jnp.float32),
+            timestep=jax.ShapeDtypeStruct((), jnp.int32),
+            encoder_hidden_states=jax.ShapeDtypeStruct(
+                (B, 77, cfg.cross_attention_dim), jnp.float32),
+            first_frame_latents=jax.ShapeDtypeStruct((B, 1, hw, hw, 4),
+                                                     jnp.float32),
+            frame_stride=jax.ShapeDtypeStruct((), jnp.int32),
+        )
+    elif family == "seine":
+        unet = SeineUNet(cfg)
+        kw = dict(
+            sample=jax.ShapeDtypeStruct((B, F, hw, hw, 9), jnp.float32),
+            timestep=jax.ShapeDtypeStruct((), jnp.int32),
+            encoder_hidden_states=jax.ShapeDtypeStruct(
+                (B, 77, cfg.cross_attention_dim), jnp.float32),
+        )
+    else:
+        unet = I2VGenUNet(cfg)
+        kw = dict(
+            sample=jax.ShapeDtypeStruct((B, F, hw, hw, 4), jnp.float32),
+            timestep=jax.ShapeDtypeStruct((), jnp.int32),
+            encoder_hidden_states=jax.ShapeDtypeStruct(
+                (B, 77, cfg.cross_attention_dim), jnp.float32),
+            fps=jax.ShapeDtypeStruct((), jnp.int32),
+            image_latents=jax.ShapeDtypeStruct((B, F, hw, hw, 4), jnp.float32),
+            image_embeddings=jax.ShapeDtypeStruct((B, 1, cfg.cross_attention_dim),
+                                                  jnp.float32),
+        )
     params = jax.eval_shape(
         lambda: unet.init(jax.random.PRNGKey(0), **{
             k: jnp.zeros(v.shape, v.dtype) for k, v in kw.items()}))
@@ -146,40 +174,36 @@ def main():
     vid = NamedSharding(mesh, P(None, "frame", None, None, None))
     rep = NamedSharding(mesh, P())
     manual = not os.environ.get("AUDIT_NO_SHARDMAP")
-    shardings = (
-        jax.tree.map(lambda _: rep, params),
-        dict(sample=vid, timestep=rep, encoder_hidden_states=rep, fps=rep,
-             # production (_apply_unet): image_latents replicated — its
-             # temporal encoder consumes all frames on every chip
-             image_latents=rep if manual else vid,
-             image_embeddings=rep),
-    )
+    in_sh = {k: rep for k in kw}
+    in_sh["sample"] = vid
+    if family == "i2vgen" and not manual:
+        in_sh["image_latents"] = vid
+    shardings = (jax.tree.map(lambda _: rep, params), in_sh)
 
     from anyv2v_tpu.parallel.mesh import manual_axis
 
     vspec = P(None, "frame", None, None, None)
     n_dev = mesh.shape["frame"]
+    keys = list(kw)
 
     def fwd(p, inputs):
-        # mirrors I2VGenPipeline._apply_unet: the whole forward is ONE
+        # mirrors the pipelines' _apply_unet: the whole forward is ONE
         # manual-SPMD shard_map region; temporal ops all_to_all inside
+        # (i2vgen: image_latents replicated; consisti2v: the conditioning
+        # frame replicated, true F+1 sequence assembled inside)
         if not manual:
             return unet.apply(p, **inputs)
 
-        def local(p, sample, timestep, text, fps, il, ie):
+        def local(p, *vals):
             with manual_axis("frame", n_dev):
-                return unet.apply(
-                    p, sample=sample, timestep=timestep,
-                    encoder_hidden_states=text, fps=fps, image_latents=il,
-                    image_embeddings=ie)
+                return unet.apply(p, **dict(zip(keys, vals)))
 
+        in_specs = tuple([P()] + [vspec if k == "sample" else P()
+                                  for k in keys])
         return jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(), vspec, P(), P(), P(), P(), P()),
-            out_specs=vspec, check_vma=False,
-        )(p, inputs["sample"], inputs["timestep"],
-          inputs["encoder_hidden_states"], inputs["fps"],
-          inputs["image_latents"], inputs["image_embeddings"])
+            local, mesh=mesh, in_specs=in_specs, out_specs=vspec,
+            check_vma=False,
+        )(p, *[inputs[k] for k in keys])
 
     print(f"lowering {args.arch} F={F} {hw}x{hw} over mesh {dict(mesh.shape)} ...",
           file=sys.stderr)
