@@ -52,7 +52,11 @@ def _ab_variants(q, k, v, heads, scale, label, variants=("whole", "wide")):
         os.environ["ANYV2V_PACKED_VARIANT"] = var
         f = jax.jit(lambda q, k, v: multi_head_attention(
             q, k, v, heads=heads, scale=scale, backend="pallas_packed"))
-        timed(f, q, k, v, label=f"{label} [{var}]")
+        try:
+            timed(f, q, k, v, label=f"{label} [{var}]")
+        except Exception as e:  # e.g. VMEM OOM on an off-route variant
+            print(f"  {label:42s} [{var}] FAILED: {str(e).splitlines()[0][:90]}",
+                  flush=True)
     os.environ.pop("ANYV2V_PACKED_VARIANT", None)
 
 

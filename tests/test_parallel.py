@@ -316,3 +316,48 @@ def test_cfg_axis_two_row_sampling_on_2x4_mesh():
 
     np.testing.assert_allclose(run(pipe_m), run(pipe_1), rtol=1e-4, atol=1e-5)
 
+
+
+@pytest.mark.slow
+def test_videoldm_mode_none_sharded_matches_unsharded():
+    """first_frame_condition_mode="none" under the manual-SPMD region: no
+    replicated conditioning row (f0row=0), so the augmented temporal
+    attention's first-frame keys come from the GLOBAL frame 0 via the
+    one-frame gather branch (unet_videoldm attn1 hoist) — the only sharded
+    code path the concat-mode test doesn't reach."""
+    import dataclasses as _dc
+
+    from anyv2v_tpu.models.unet_videoldm import VideoLDMUNet
+    from anyv2v_tpu.parallel.mesh import manual_axis
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_cfg=1, n_frame=8)
+    F, hw = 8, 16
+    pipe_cfg = _tiny_consisti2v_pipeline(None)[0].unet.config
+    cfg = _dc.replace(pipe_cfg, first_frame_condition_mode="none")
+    unet = VideoLDMUNet(cfg)
+    rng = np.random.RandomState(11)
+    kw = dict(
+        sample=jnp.asarray(rng.randn(1, F, hw, hw, 4).astype(np.float32)) * 0.2,
+        timestep=jnp.int32(3),
+        encoder_hidden_states=jnp.asarray(
+            rng.randn(1, 5, cfg.cross_attention_dim).astype(np.float32)) * 0.1,
+        frame_stride=jnp.int32(3),
+    )
+    params = unet.init(jax.random.PRNGKey(0), **kw)
+    want = np.asarray(jax.jit(lambda p, i: unet.apply(p, **i))(params, kw))
+
+    vspec = P(None, "frame", None, None, None)
+
+    def local(p, sample, ts, text, fs):
+        with manual_axis("frame", 8):
+            return unet.apply(p, sample=sample, timestep=ts,
+                              encoder_hidden_states=text, frame_stride=fs)
+
+    with jax.set_mesh(mesh):
+        got = jax.jit(jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), vspec, P(), P(), P()),
+            out_specs=vspec, check_vma=False,
+        ))(params, kw["sample"], kw["timestep"],
+           kw["encoder_hidden_states"], kw["frame_stride"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=5e-5)
