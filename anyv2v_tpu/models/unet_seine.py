@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention
+from ..ops.attention import multi_head_attention, temporal_attention
 from ..ops.pnp import inject_source_rows
 from ..ops.relpos import relative_position_bias
 from .layers import (
@@ -151,14 +151,16 @@ class _SeineTransformerBlock(nn.Module):
             name, n = ctx_manual
             x4 = gather_frames(x4, name, 1)         # [b, F_glob, hw, c]
             f_att = f * n
-        h = x4.transpose(0, 2, 1, 3).reshape(b * hw_att, f_att, c)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_temp")(h).astype(self.dtype)
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_q")(h)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_k")(h)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_v")(h)
+        # module-NATIVE layout from here: [B, F_att, HW_att, C] — no
+        # [(B HW), F, C] transposes; the strided kernel attends the frame
+        # axis in place and the T5 bias folds into its precomputed mask
+        # (ops/pallas_short_attention.short_attention_frames)
+        h4 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm_temp")(x4).astype(self.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_q")(h4)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_k")(h4)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="temp_to_v")(h4)
         if inj_temporal is not None:
-            # per-pixel fold keeps batch-major chunks: rows [(B HW)] split into
-            # pnp_chunks blocks of (B/chunks)*HW; the reference hook injects
+            # chunks split the CFG batch axis; the reference hook injects
             # the flattened q/k BEFORE the head split / rotation
             # (seine/pnp_utils.py:411-421)
             q = inject_source_rows(q, inj_temporal, self.pnp_chunks)
@@ -168,16 +170,18 @@ class _SeineTransformerBlock(nn.Module):
         # _attention at attention.py:889-891)
         rot_dim = min(self.temporal_rotary_dim, self.head_dim)
         if rot_dim >= 2:
-            from ..ops.rotary import apply_rotary, rotary_angles, rotary_freqs
+            from ..ops.rotary import (apply_rotary_partial,
+                                      rotary_angles, rotary_freqs)
 
+            # positions index the frame axis (axis 1 of [B, F, HW, H, D])
             ang = rotary_angles(jnp.arange(f_att, dtype=jnp.float32),
-                                jnp.asarray(rotary_freqs(rot_dim)))[:, None, :]
+                                jnp.asarray(rotary_freqs(rot_dim))
+                                )[:, None, None, :]
 
             def _rot(z):
-                zh = z.reshape(b * hw_att, f_att, self.heads, self.head_dim)
-                zh = zh.at[..., :rot_dim].set(
-                    apply_rotary(zh[..., :rot_dim], ang))
-                return zh.reshape(b * hw_att, f_att, inner)
+                zh = z.reshape(b, f_att, hw_att, self.heads, self.head_dim)
+                zh = apply_rotary_partial(zh, ang, rot_dim)
+                return zh.reshape(b, f_att, hw_att, inner)
 
             q, k = _rot(q), _rot(k)
         bias_table = self.param(
@@ -188,10 +192,10 @@ class _SeineTransformerBlock(nn.Module):
         bias = relative_position_bias(
             bias_table, f_att, f_att, num_buckets=self.relpos_num_buckets,
             max_distance=self.relpos_max_distance,
-        )[None]  # [1, heads, F_att, F_att]
-        out = multi_head_attention(q, k, v, heads=self.heads, bias=bias)
-        out = nn.Dense(c, dtype=self.dtype, name="temp_to_out")(out)
-        out4 = out.reshape(b, hw_att, f_att, c).transpose(0, 2, 1, 3)
+        )  # [heads, F_att, F_att]
+        out = temporal_attention(q, k, v, heads=self.heads, bias=bias,
+                                 pixel_sharded=sharded)
+        out4 = nn.Dense(c, dtype=self.dtype, name="temp_to_out")(out)
         if hoisted:
             out4 = pixels_to_frames(out4, name, 1, 2)  # [b, f, hw, c]
         elif gathered:

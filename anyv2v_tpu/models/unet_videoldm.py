@@ -43,7 +43,8 @@ from flax import linen as nn
 
 from ..ops.attention import multi_head_attention, temporal_attention
 from ..ops.pnp import inject_source_rows
-from ..ops.rotary import apply_rotary, rotary_angles, rotary_freqs
+from ..ops.rotary import (apply_rotary_partial, rotary_angles,
+                          rotary_freqs)
 from .layers import (
     Downsample2D,
     FeedForward,
@@ -341,8 +342,7 @@ class _TemporalAttention(nn.Module):
             freqs = jnp.asarray(rotary_freqs(rot_dim))
             q_pos = jnp.arange(f, dtype=jnp.float32)
             q_ang = rotary_angles(q_pos, freqs)[None, :, None, :]
-            q = q.at[..., :rot_dim].set(
-                apply_rotary(q[..., :rot_dim], q_ang))
+            q = apply_rotary_partial(q, q_ang, rot_dim)
             k_len = ctx.shape[1]
             if adjacent_slices is None:
                 k_pos = jnp.arange(k_len, dtype=jnp.float32)
@@ -350,8 +350,7 @@ class _TemporalAttention(nn.Module):
                 k_pos = jnp.concatenate(
                     [jnp.arange(f, dtype=jnp.float32), jnp.zeros(k_len - f)])
             k_ang = rotary_angles(k_pos, freqs)[None, :, None, :]
-            k = k.at[..., :rot_dim].set(
-                apply_rotary(k[..., :rot_dim], k_ang))
+            k = apply_rotary_partial(k, k_ang, rot_dim)
 
         out = temporal_attention(q, k, v, heads=self.heads,
                                  pixel_sharded=pixel_sharded)
@@ -490,8 +489,7 @@ class VideoLDMTemporalTransformer(nn.Module):
             freqs = jnp.asarray(rotary_freqs(rot_dim))
             q_ang = rotary_angles(pos.astype(jnp.float32),
                                   freqs)[None, :, None, :]
-            q4 = q4.at[..., :rot_dim].set(
-                apply_rotary(q4[..., :rot_dim], q_ang))
+            q4 = apply_rotary_partial(q4, q_ang, rot_dim)
         cross = multi_head_attention(q4.reshape(b, f * hw, inner), k, v,
                                      heads=self.heads)
         cross = nn.Dense(inner, dtype=self.dtype, name="attn2_to_out")(cross)

@@ -286,6 +286,7 @@ def temporal_attention(
     scale: Optional[float] = None,
     backend: Optional[str] = None,
     pixel_sharded: bool = False,
+    bias: Optional[jax.Array] = None,  # [heads, S, Sk], GLOBAL frame axis
 ) -> jax.Array:
     """Self-attention over the frame axis S of 4D temporal tokens WITHOUT the
     [B,S,HW,C] <-> [B,HW,S,C] transposes the 3D path needs: on TPU the
@@ -310,26 +311,28 @@ def temporal_attention(
             # caller already holds all frames locally (the TemporalTransformer
             # hoisted one all_to_all to its module boundary)
             return _temporal_attention_impl(query, key, value, heads=heads,
-                                            scale=scale, backend=backend)
+                                            scale=scale, backend=backend,
+                                            bias=bias)
         if n > 1:
             hw = query.shape[2]
             if hw % n == 0 and hw // n >= 8:
                 q, k, v = (frames_to_pixels(t, name, 1, 2)
                            for t in (query, key, value))
                 out = _temporal_attention_impl(q, k, v, heads=heads,
-                                               scale=scale, backend=backend)
+                                               scale=scale, backend=backend,
+                                               bias=bias)
                 return pixels_to_frames(out, name, 1, 2)
             # tiny deep-level grids: gather the short frame axis, compute the
             # full problem, keep this chip's frame slice
             q, k, v = (gather_frames(t, name, 1)
                        for t in (query, key, value))
             out = _temporal_attention_impl(q, k, v, heads=heads, scale=scale,
-                                           backend=backend)
+                                           backend=backend, bias=bias)
             f_loc = query.shape[1]
             i = jax.lax.axis_index(name)
             return jax.lax.dynamic_slice_in_dim(out, i * f_loc, f_loc, axis=1)
     return _temporal_attention_impl(query, key, value, heads=heads,
-                                    scale=scale, backend=backend)
+                                    scale=scale, backend=backend, bias=bias)
 
 
 def _temporal_attention_impl(
@@ -339,6 +342,7 @@ def _temporal_attention_impl(
     heads: int,
     scale: Optional[float] = None,
     backend: Optional[str] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, s, hw, c = query.shape
     head_dim = c // heads
@@ -370,16 +374,17 @@ def _temporal_attention_impl(
                 return xh.reshape(*x.shape[:3], heads * (head_dim + pad))
 
             out = short_attention_frames(padh(query), padh(key), padh(value),
-                                         heads=heads, scale=scale)
+                                         heads=heads, scale=scale, bias=bias)
             return out.reshape(b, s, hw, heads, head_dim + pad)[
                 ..., :head_dim].reshape(b, s, hw, c)
         return short_attention_frames(query, key, value, heads=heads,
-                                      scale=scale)
+                                      scale=scale, bias=bias)
 
     def t(x):
         return x.transpose(0, 2, 1, 3).reshape(b * hw, x.shape[1], heads,
                                                head_dim)
 
-    out = jax.nn.dot_product_attention(t(query), t(key), t(value),
-                                       scale=scale, implementation="xla")
+    out = jax.nn.dot_product_attention(
+        t(query), t(key), t(value), scale=scale,
+        bias=None if bias is None else bias[None], implementation="xla")
     return out.reshape(b, hw, s, c).transpose(0, 2, 1, 3)

@@ -38,6 +38,20 @@ def _log(msg: str) -> None:
               flush=True)
 
 
+def _sync(x) -> None:
+    """Hard sync: block + one-element host readback.
+
+    Over the axon tunnel a bare ``block_until_ready`` intermittently returns
+    before the computation drains (observed on a 10-step edit scan "measuring"
+    at 9 ms); a device->host readback of an output element cannot. One tiny
+    transfer (<1 ms), negligible on the multi-second legs timed here."""
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    np.asarray(jax.device_get(leaf.ravel()[-1]))
+
 def main() -> None:
     from anyv2v_tpu.utils.compile_cache import enable as _enable_compile_cache
 
@@ -80,20 +94,20 @@ def main() -> None:
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
     img_lat = pipe.prepare_image_latents(frames01[0], n_frames)
-    jax.block_until_ready((latents, img_lat))
+    _sync((latents, img_lat))
     _vae_warm = time.perf_counter() - t0
     _log(f"vae encode compiled+run in {_vae_warm:.1f}s")
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
     img_lat = pipe.prepare_image_latents(frames01[0], n_frames)
-    jax.block_until_ready((latents, img_lat))
+    _sync((latents, img_lat))
     t_vae_encode = time.perf_counter() - t0
 
     video = pipe.decode_latents(latents)
-    jax.block_until_ready(video)
+    _sync(video)
     t0 = time.perf_counter()
     video = pipe.decode_latents(latents)
-    jax.block_until_ready(video)
+    _sync(video)
     t_vae_decode = time.perf_counter() - t0
 
     # --- inversion ---------------------------------------------------------
@@ -102,13 +116,13 @@ def main() -> None:
     _log("compiling inversion scan")
     traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
                                num_inversion_steps=n_inv_measure)
-    jax.block_until_ready(traj)
+    _sync(traj)
     _log("inversion scan compiled")
     t0 = time.perf_counter()
     with trace_if(profile_dir):
         traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
                                    num_inversion_steps=n_inv_measure)
-        jax.block_until_ready(traj)
+        _sync(traj)
     t_inv = time.perf_counter() - t0
     # host readback forces real completion and surfaces deferred device
     # errors (axon executes asynchronously; a bare block_until_ready has
@@ -124,12 +138,12 @@ def main() -> None:
     _log("compiling pnp edit scan")
     out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
                                num_inference_steps=n_edit_measure)
-    jax.block_until_ready(out)
+    _sync(out)
     _log("pnp edit scan compiled")
     t0 = time.perf_counter()
     out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
                                num_inference_steps=n_edit_measure)
-    jax.block_until_ready(out)
+    _sync(out)
     t_edit = time.perf_counter() - t0
     assert np.isfinite(np.asarray(out).sum()), "edit produced non-finite"
     t_edit_total = t_edit if full else t_edit * (50 / n_edit_measure)

@@ -33,6 +33,22 @@ def _log(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
+def _sync(x) -> None:
+    """Hard sync: block + one-element host readback.
+
+    Over the axon tunnel a bare ``block_until_ready`` intermittently returns
+    before the computation drains (observed: a 10-step edit scan "measuring"
+    at 9 ms); a device->host readback of any output element cannot. The
+    readback itself is one tiny transfer (<1 ms), negligible on the
+    multi-second legs measured here."""
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[-1]
+    np.asarray(jax.device_get(leaf.ravel()[-1]))
+
+
 def bench_consisti2v(full: bool):
     import jax
     import jax.numpy as jnp
@@ -50,28 +66,28 @@ def bench_consisti2v(full: bool):
 
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
-    jax.block_until_ready(latents)
+    _sync(latents)
     _log(f"vae encode compiled+run in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
-    jax.block_until_ready(latents)
+    _sync(latents)
     t_vae_encode = time.perf_counter() - t0
 
     video = pipe.decode_latents(latents)
-    jax.block_until_ready(video)
+    _sync(video)
     t0 = time.perf_counter()
     video = pipe.decode_latents(latents)
-    jax.block_until_ready(video)
+    _sync(video)
     t_vae_decode = time.perf_counter() - t0
 
     n_inv = 500 if full else 20
     _log("compiling consisti2v inversion scan")
     traj, inv_ts = pipe.invert(latents, text, num_inversion_steps=n_inv)
-    jax.block_until_ready(traj)
+    _sync(traj)
     _log("inversion compiled; measuring")
     t0 = time.perf_counter()
     traj, inv_ts = pipe.invert(latents, text, num_inversion_steps=n_inv)
-    jax.block_until_ready(traj)
+    _sync(traj)
     t_inv = time.perf_counter() - t0
     assert np.isfinite(np.asarray(traj[-1]).sum())
     t_invert_total = t_inv if full else t_inv * (500 / n_inv)
@@ -85,11 +101,11 @@ def bench_consisti2v(full: bool):
               cfg_txt=35.0, cfg_img=1.0)
     _log("compiling consisti2v pnp edit scan")
     out = pipe.sample_with_pnp(traj, inv_ts, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     _log("edit compiled; measuring")
     t0 = time.perf_counter()
     out = pipe.sample_with_pnp(traj, inv_ts, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t_edit = time.perf_counter() - t0
     assert np.isfinite(np.asarray(out).sum())
     t_edit_total = t_edit if full else t_edit * (50 / n_edit)
@@ -116,18 +132,18 @@ def bench_seine(full: bool):
 
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
-    jax.block_until_ready(latents)
+    _sync(latents)
     _log(f"vae encode compiled+run in {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     latents = pipe.encode_video(frames01)
-    jax.block_until_ready(latents)
+    _sync(latents)
     t_vae_encode = time.perf_counter() - t0
 
     video = pipe.decode_latents(latents)
-    jax.block_until_ready(video)
+    _sync(video)
     t0 = time.perf_counter()
     video = pipe.decode_latents(latents)
-    jax.block_until_ready(video)
+    _sync(video)
     t_vae_decode = time.perf_counter() - t0
 
     mask = jnp.concatenate(
@@ -140,13 +156,13 @@ def bench_seine(full: bool):
     traj, traj_ts = pipe.invert(latents, mask, masked, text,
                                 num_inversion_steps=n_inv,
                                 num_save_steps=max(n_inv // 2, 1))
-    jax.block_until_ready(traj)
+    _sync(traj)
     _log("inversion compiled; measuring")
     t0 = time.perf_counter()
     traj, traj_ts = pipe.invert(latents, mask, masked, text,
                                 num_inversion_steps=n_inv,
                                 num_save_steps=max(n_inv // 2, 1))
-    jax.block_until_ready(traj)
+    _sync(traj)
     t_inv = time.perf_counter() - t0
     assert np.isfinite(np.asarray(traj[-1]).sum())
     t_invert_total = t_inv if full else t_inv * (500 / n_inv)
@@ -159,11 +175,11 @@ def bench_seine(full: bool):
               cfg_scale=4.0, sampler="ddpm", key=jax.random.PRNGKey(7))
     _log("compiling seine pnp edit scan")
     out = pipe.sample_with_pnp(traj, traj_ts, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     _log("edit compiled; measuring")
     t0 = time.perf_counter()
     out = pipe.sample_with_pnp(traj, traj_ts, **kw)
-    jax.block_until_ready(out)
+    _sync(out)
     t_edit = time.perf_counter() - t0
     assert np.isfinite(np.asarray(out).sum())
     t_edit_total = t_edit if full else t_edit * (50 / n_edit)

@@ -203,3 +203,26 @@ def test_resolve_chunk_steps_env_and_precedence(monkeypatch):
 
     with _pytest.raises(ValueError, match="ANYV2V_SCAN_CHUNK"):
         resolve_chunk_steps(None)
+
+
+def test_apply_rotary_partial_matches_at_set():
+    """apply_rotary_partial == the at[..., :rot_dim].set(apply_rotary(...))
+    form it replaces (which lowered to a 10.9 ms/step dynamic-update-slice
+    chain on the ConsistI2V trace)."""
+    import numpy as np
+    from anyv2v_tpu.ops.rotary import (apply_rotary, apply_rotary_partial,
+                                       rotary_angles, rotary_freqs)
+
+    rng = np.random.RandomState(0)
+    for shape, rot in [((2, 16, 7, 64), 32),    # videoldm attn: [B,F,HW,C]
+                       ((3, 8, 5, 4, 40), 32),  # seine: [B,F,HW,heads,dh]
+                       ((2, 16, 3, 48), 48)]:   # full-width rotation
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        freqs = jnp.asarray(rotary_freqs(rot))
+        pos = jnp.arange(shape[1], dtype=jnp.float32)
+        a = rotary_angles(pos, freqs).reshape(
+            (1, shape[1]) + (1,) * (len(shape) - 3) + (rot,))
+        want = x.at[..., :rot].set(apply_rotary(x[..., :rot], a))
+        got = apply_rotary_partial(x, a, rot)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
