@@ -32,6 +32,7 @@ softmax, same as any flash kernel); padded key columns vanish via -1e30.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -330,6 +331,20 @@ def short_attention_frames(
     head_dim = c // heads
     if scale is None:
         scale = 1.0 / float(np.sqrt(head_dim))
+
+    # the elementwise-product kernel computes zero wasted scores and wins on
+    # the narrow-head big-pixel temporal class (checkpoint-true heads=64 at
+    # padded dh=8, hw=4096: measured 1.23x invert / 1.37-1.47x edit vs the
+    # strided kernel — PERF.md round 4); parity-or-worse on the other shapes
+    variant = os.environ.get("ANYV2V_TEMPORAL_VARIANT", "auto")
+    if variant != "strided" and s <= 32 and (
+            variant == "ew" or (head_dim <= 8 and hw >= 4096)):
+        from .pallas_temporal_ew import temporal_ew_attention
+
+        out = temporal_ew_attention(q, k, v, heads=heads, scale=scale,
+                                    bias=bias)
+        if out is not None:
+            return out
 
     s_pad = _ceil_to(s, 8)
     sk_pad = _ceil_to(sk, 8)

@@ -126,3 +126,33 @@ def test_videoldm_forward_auto_matches_xla_within_bf16_noise():
     dev = np.abs(out_auto - out_xla).max()
     std = out_xla.std()
     assert dev < 0.35 * std, f"kernel deviation {dev} vs out std {std}"
+
+
+def test_temporal_ew_production_shape_matches_xla():
+    """Compiled elementwise-product temporal kernel at the exact routed
+    production shape (checkpoint-true L0: heads=64, padded dh=8, hw=4096)
+    vs XLA attention on the same bf16 inputs."""
+    import jax.numpy as jnp
+
+    from anyv2v_tpu.ops.attention import temporal_attention
+
+    rng = np.random.RandomState(0)
+    b, s, hw, heads, dh = 1, 16, 4096, 64, 8
+    c = heads * dh
+    q = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
+
+    os.environ["ANYV2V_TEMPORAL_VARIANT"] = "ew"
+    try:
+        out_ew = np.asarray(
+            temporal_attention(q, k, v, heads=heads), np.float32)
+    finally:
+        del os.environ["ANYV2V_TEMPORAL_VARIANT"]
+    out_xla = np.asarray(
+        temporal_attention(q, k, v, heads=heads, backend="xla"), np.float32)
+
+    assert np.isfinite(out_ew).all()
+    dev = np.abs(out_ew - out_xla).max()
+    std = out_xla.std()
+    assert dev < 0.35 * std, f"ew deviation {dev} vs out std {std}"
