@@ -213,13 +213,13 @@ class I2VGenUNet(nn.Module):
         il_t = _TemporalEncoder(dim=C, dtype=dt, name="image_latents_temporal_encoder")(il_t)
         il = il_t.reshape(B, H, W, F_il, C).transpose(0, 3, 1, 2, 4)
         if F_il != F:
-            from ..parallel.mesh import current_manual_axis
+            from ..parallel.mesh import axis_index, current_manual_axis
 
             ctx = current_manual_axis()
             assert ctx is not None and F_il == F * ctx[1], (
                 "image_latents frame count must equal sample's (or the full "
                 "count inside a manual-SPMD region)")
-            idx = jax.lax.axis_index(ctx[0])
+            idx = axis_index(ctx[0])
             il = jax.lax.dynamic_slice_in_dim(il, idx * F, F, axis=1)
 
         # --- 5. pre-process --------------------------------------------------

@@ -133,8 +133,9 @@ class _SeineTransformerBlock(nn.Module):
         # pixel-local once all frames are held), reversed after temp_to_out.
         # Deep levels whose pixel count doesn't divide the mesh all-gather
         # the (tiny) frame axis and keep the local frame slice instead.
-        from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
-                                     gather_frames, pixels_to_frames)
+        from ..parallel.mesh import (axis_index, current_manual_axis,
+                                     frames_to_pixels, gather_frames,
+                                     pixels_to_frames)
 
         ctx_manual = current_manual_axis()
         sharded = ctx_manual is not None and ctx_manual[1] > 1
@@ -199,7 +200,7 @@ class _SeineTransformerBlock(nn.Module):
         if hoisted:
             out4 = pixels_to_frames(out4, name, 1, 2)  # [b, f, hw, c]
         elif gathered:
-            i = jax.lax.axis_index(name)
+            i = axis_index(name)
             out4 = jax.lax.dynamic_slice_in_dim(out4, i * f, f, axis=1)
         x = x + out4.reshape(bf, hw, c)
 

@@ -139,7 +139,7 @@ def _disassemble_true_sequence(out, f0row, name, n, pixel_mode, f_real_loc):
     [B, f0row + F/n, P, C] layout. The conditioning frame's updated row is
     re-replicated (all-gather of ONE frame's pixels in pixel mode; in gather
     mode every chip already computed the identical full-pixel row)."""
-    from ..parallel.mesh import gather_pixels, pixels_to_frames
+    from ..parallel.mesh import axis_index, gather_pixels, pixels_to_frames
 
     if pixel_mode:
         real = pixels_to_frames(out[:, f0row:], name, 1, 2)
@@ -147,7 +147,7 @@ def _disassemble_true_sequence(out, f0row, name, n, pixel_mode, f_real_loc):
             f0 = gather_pixels(out[:, :f0row], name, 2)
             real = jnp.concatenate([f0, real], axis=1)
         return real
-    i = jax.lax.axis_index(name)
+    i = axis_index(name)
     real = jax.lax.dynamic_slice_in_dim(out[:, f0row:], i * f_real_loc,
                                         f_real_loc, axis=1)
     if f0row:
@@ -466,7 +466,9 @@ class VideoLDMTemporalTransformer(nn.Module):
         else:
             f_real_loc = f - f0row
             f_glob = f0row + f_real_loc * ctx_m[1]
-            i_dev = jax.lax.axis_index(ctx_m[0])
+            from ..parallel.mesh import axis_index as _axis_index
+
+            i_dev = _axis_index(ctx_m[0])
             pos = jnp.concatenate([
                 jnp.arange(f0row),
                 f0row + i_dev * f_real_loc + jnp.arange(f_real_loc)])

@@ -301,8 +301,9 @@ def temporal_attention(
     per-chip volume ~2/n of the tensor each way vs (n-1)/n for a frame
     all-gather. Deep levels whose pixel count doesn't divide the mesh
     all-gather the (tiny) frame axis instead and keep the local slice."""
-    from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
-                                 gather_frames, pixels_to_frames)
+    from ..parallel.mesh import (axis_index, current_manual_axis,
+                                 frames_to_pixels, gather_frames,
+                                 pixels_to_frames)
 
     ctx = current_manual_axis()
     if ctx is not None:
@@ -329,7 +330,7 @@ def temporal_attention(
             out = _temporal_attention_impl(q, k, v, heads=heads, scale=scale,
                                            backend=backend, bias=bias)
             f_loc = query.shape[1]
-            i = jax.lax.axis_index(name)
+            i = axis_index(name)
             return jax.lax.dynamic_slice_in_dim(out, i * f_loc, f_loc, axis=1)
     return _temporal_attention_impl(query, key, value, heads=heads,
                                     scale=scale, backend=backend, bias=bias)

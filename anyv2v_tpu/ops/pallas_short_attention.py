@@ -335,7 +335,10 @@ def short_attention_frames(
     # the elementwise-product kernel computes zero wasted scores and wins on
     # the narrow-head big-pixel temporal class (checkpoint-true heads=64 at
     # padded dh=8, hw=4096: measured 1.23x invert / 1.37-1.47x edit vs the
-    # strided kernel — PERF.md round 4); parity-or-worse on the other shapes
+    # strided kernel — PERF.md round 4); parity-or-worse on the other shapes.
+    # NOTE: read at TRACE time — under an outer jit the variant is baked into
+    # the compiled graph (same semantics as ANYV2V_ATTN_BACKEND); flip it
+    # before the first trace, not between calls.
     variant = os.environ.get("ANYV2V_TEMPORAL_VARIANT", "auto")
     if variant != "strided" and s <= 32 and (
             variant == "ew" or (head_dim <= 8 and hw >= 4096)):

@@ -190,8 +190,9 @@ def groupnorm_silu_temporal_conv3(
     (~16 ms of a 635 ms edit step, measured — PERF.md round 4)."""
     if kernel.ndim == 5:
         kernel = kernel.reshape(3, kernel.shape[-2], kernel.shape[-1])
-    from ..parallel.mesh import (current_manual_axis, frames_to_pixels,
-                                 gather_frames, pixels_to_frames)
+    from ..parallel.mesh import (axis_index, current_manual_axis,
+                                 frames_to_pixels, gather_frames,
+                                 pixels_to_frames, pmean_axis)
 
     manual = current_manual_axis()
     b = x.shape[0]
@@ -208,8 +209,8 @@ def groupnorm_silu_temporal_conv3(
         # are GLOBAL over (F, pixels) -> pmean the per-chip moments (equal
         # shard sizes make the plain mean-of-means exact)
         name = manual[0]
-        mean_sq = jax.lax.pmean(jnp.mean(jnp.square(xf), axis=red), name)
-        mean = jax.lax.pmean(mean, name)
+        mean_sq = pmean_axis(jnp.mean(jnp.square(xf), axis=red), name)
+        mean = pmean_axis(mean, name)
         var = mean_sq - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)                         # [B, G]
     inv_c = jnp.repeat(inv, c // groups, axis=1)           # [B, C]
@@ -264,6 +265,6 @@ def groupnorm_silu_temporal_conv3(
         xg = gather_frames(x, name, 1)
         out = compute(xg, kernel, bias, s, t)
         f_loc = x.shape[1]
-        i = jax.lax.axis_index(name)
+        i = axis_index(name)
         return jax.lax.dynamic_slice_in_dim(out, i * f_loc, f_loc, axis=1)
     return compute(x, kernel, bias, s, t)

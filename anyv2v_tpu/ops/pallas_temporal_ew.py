@@ -34,6 +34,14 @@ mask-inflated-MXU-bound. Frames are attended exactly (the j loop runs the
 TRUE S_k — no frame padding, no mask tensor at all); rectangular S_k > S
 (ConsistI2V's augmented first-frame keys) and a per-head [S, S_k] additive
 bias (SEINE's T5 relative-position bias) are supported directly.
+
+Numerics note: the q*k elementwise product is materialized in the input
+dtype (bf16 in production) before the fp32 indicator contraction, so every
+product is rounded to bf16 once — strictly worse score precision than the
+packed/strided kernels, whose MXU matmuls accumulate exact bf16-operand
+products in fp32. Measured well inside the model-level 0.35*std TPU gate
+(the all-fp32 product variant spent ~60% of its VPU time on cast tile-ops
+and was rejected); if the gate ever tightens, revisit this first.
 """
 
 from __future__ import annotations
@@ -64,9 +72,10 @@ def _ew_kernel(q_ref, k_ref, v_ref, e1_ref, e2_ref, *rest, sk: int,
 
     q_ref [1, 1, hw_t, C]; k_ref/v_ref [1, S_k, hw_t, C] (revisited — the
     grid's minor axis is i, and their index map is constant in i, so the
-    blocks stay VMEM-resident across the S query frames); e1 [C, heads] fp32
-    (scale * log2e per-head lane indicator); e2 [heads, C] bf16 (lane
-    expansion); optional bias block [1, S_k, heads] fp32 (exp2 domain).
+    blocks stay VMEM-resident across the S query frames); e1 [C, heads] in
+    q.dtype (0/1 per-head lane indicator; scale*log2e is folded into q by
+    the wrapper); e2 [heads, C] in q.dtype (lane expansion); optional bias
+    block [1, S_k, heads] fp32 (exp2 domain).
     """
     bias_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
     prec = _precision(interpret)

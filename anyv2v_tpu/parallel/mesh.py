@@ -85,6 +85,8 @@ def shard_params(params, mesh: Mesh):
 import contextlib
 import threading
 
+import jax.numpy as jnp
+
 _MANUAL_AXIS = threading.local()
 
 
@@ -94,11 +96,43 @@ def manual_axis(name: str, size: int):
     shards the video frame dimension (``size`` devices). Read at trace time
     by the frame-coupled ops."""
     prev = getattr(_MANUAL_AXIS, "value", None)
+    prev_mock = getattr(_MANUAL_AXIS, "mock", False)
     _MANUAL_AXIS.value = (name, size)
+    _MANUAL_AXIS.mock = False
     try:
         yield
     finally:
         _MANUAL_AXIS.value = prev
+        _MANUAL_AXIS.mock = prev_mock
+
+
+@contextlib.contextmanager
+def mock_manual_axis(name: str, size: int):
+    """SINGLE-DEVICE timing emulation of a ``size``-chip manual-SPMD region.
+
+    Inside this context the frame-coupled ops trace exactly the per-chip
+    program of the real shard_map region — same kernel shapes, same grid
+    sizes, same local data movement — but every collective is replaced by a
+    shape-equivalent LOCAL op (all_to_all -> split+concat, all_gather ->
+    tile, pmean -> identity, axis_index -> 0). The outputs are numerically
+    meaningless (the other chips' frames don't exist); the point is to
+    MEASURE the v5e-8 compute leg on one real chip: feed the chip-local
+    shard shapes (F/n frames) and time the forward (used by
+    ``scripts/bench_shard_workload.py``; VERDICT r4 item 1).
+
+    Local-traffic fidelity: a tiled all_to_all reads the full local tensor
+    and writes a full local tensor (plus ICI, modeled separately); the mock
+    split+concat does the same HBM round-trip. all_gather writes n copies;
+    so does the mock tile."""
+    prev = getattr(_MANUAL_AXIS, "value", None)
+    prev_mock = getattr(_MANUAL_AXIS, "mock", False)
+    _MANUAL_AXIS.value = (name, size)
+    _MANUAL_AXIS.mock = True
+    try:
+        yield
+    finally:
+        _MANUAL_AXIS.value = prev
+        _MANUAL_AXIS.mock = prev_mock
 
 
 def current_manual_axis():
@@ -106,10 +140,23 @@ def current_manual_axis():
     return getattr(_MANUAL_AXIS, "value", None)
 
 
+def _mock_size(name: str):
+    """``size`` when a MOCK manual region for axis ``name`` is active."""
+    if getattr(_MANUAL_AXIS, "mock", False):
+        v = getattr(_MANUAL_AXIS, "value", None)
+        if v is not None and v[0] == name:
+            return v[1]
+    return None
+
+
 def frames_to_pixels(x: jax.Array, name: str, frame_axis: int,
                      pixel_axis: int) -> jax.Array:
     """[..., F_loc, ..., P, ...] -> [..., F, ..., P/n, ...] via tiled
     all_to_all over mesh axis ``name`` (frames complete, pixels split)."""
+    n = _mock_size(name)
+    if n is not None:
+        return jnp.concatenate(jnp.split(x, n, axis=pixel_axis),
+                               axis=frame_axis)
     return jax.lax.all_to_all(x, name, split_axis=pixel_axis,
                               concat_axis=frame_axis, tiled=True)
 
@@ -117,6 +164,10 @@ def frames_to_pixels(x: jax.Array, name: str, frame_axis: int,
 def pixels_to_frames(x: jax.Array, name: str, frame_axis: int,
                      pixel_axis: int) -> jax.Array:
     """Inverse of :func:`frames_to_pixels`."""
+    n = _mock_size(name)
+    if n is not None:
+        return jnp.concatenate(jnp.split(x, n, axis=frame_axis),
+                               axis=pixel_axis)
     return jax.lax.all_to_all(x, name, split_axis=frame_axis,
                               concat_axis=pixel_axis, tiled=True)
 
@@ -125,6 +176,9 @@ def gather_frames(x: jax.Array, name: str, frame_axis: int) -> jax.Array:
     """All-gather the frame axis (fallback when the pixel count doesn't
     divide the mesh — deep UNet levels with tiny grids, where the tensors
     are small enough that gathering is cheap)."""
+    n = _mock_size(name)
+    if n is not None:
+        return jnp.concatenate([x] * n, axis=frame_axis)
     return jax.lax.all_gather(x, name, axis=frame_axis, tiled=True)
 
 
@@ -133,7 +187,26 @@ def gather_pixels(x: jax.Array, name: str, pixel_axis: int) -> jax.Array:
     frame's updated activations after a frame-coupled op computed it
     pixel-sharded (ConsistI2V concat mode: frame 0 rides REPLICATED through
     the sharded UNet; volume = one frame per temporal layer)."""
+    n = _mock_size(name)
+    if n is not None:
+        return jnp.concatenate([x] * n, axis=pixel_axis)
     return jax.lax.all_gather(x, name, axis=pixel_axis, tiled=True)
+
+
+def axis_index(name: str) -> jax.Array:
+    """``jax.lax.axis_index`` that returns 0 inside a mock manual region
+    (single-device timing emulation — there is no mesh axis to query)."""
+    if _mock_size(name) is not None:
+        return jnp.zeros((), jnp.int32)
+    return jax.lax.axis_index(name)
+
+
+def pmean_axis(x: jax.Array, name: str) -> jax.Array:
+    """``jax.lax.pmean`` that is the identity inside a mock manual region
+    (the real call moves a [B, G]-sized moment vector — negligible)."""
+    if _mock_size(name) is not None:
+        return x
+    return jax.lax.pmean(x, name)
 
 
 def local_pixel_slice(x: jax.Array, name: str, n: int,
@@ -142,5 +215,5 @@ def local_pixel_slice(x: jax.Array, name: str, n: int,
     the slice that aligns with :func:`frames_to_pixels`' tiled all_to_all
     split (chip i owns pixels [i*P/n, (i+1)*P/n))."""
     p_loc = x.shape[pixel_axis] // n
-    i = jax.lax.axis_index(name)
+    i = axis_index(name)
     return jax.lax.dynamic_slice_in_dim(x, i * p_loc, p_loc, axis=pixel_axis)

@@ -39,18 +39,16 @@ def _log(msg: str) -> None:
 
 
 def _sync(x) -> None:
-    """Hard sync: block + one-element host readback.
+    """Hard sync: dependent scalar through EVERY output leaf + finiteness.
 
-    Over the axon tunnel a bare ``block_until_ready`` intermittently returns
-    before the computation drains (observed on a 10-step edit scan "measuring"
-    at 9 ms); a device->host readback of an output element cannot. One tiny
-    transfer (<1 ms), negligible on the multi-second legs timed here."""
-    import jax
-    import numpy as np
+    Round 4's one-element-of-one-leaf readback was observed returning before
+    the computation drained over the axon tunnel (it shipped a 47 ms "50-step
+    edit" artifact); :func:`anyv2v_tpu.utils.benchguard.hard_sync` dispatches
+    a reduction per output leaf behind the producer on the device stream and
+    reads the combined scalar back — it cannot return early."""
+    from anyv2v_tpu.utils.benchguard import hard_sync
 
-    jax.block_until_ready(x)
-    leaf = jax.tree_util.tree_leaves(x)[-1]
-    np.asarray(jax.device_get(leaf.ravel()[-1]))
+    hard_sync(x)
 
 def main() -> None:
     from anyv2v_tpu.utils.compile_cache import enable as _enable_compile_cache
@@ -123,7 +121,10 @@ def main() -> None:
         traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
                                    num_inversion_steps=n_inv_measure)
         _sync(traj)
-    t_inv = time.perf_counter() - t0
+    from anyv2v_tpu.utils.benchguard import check_scan_time
+
+    t_inv = check_scan_time("i2vgen invert", time.perf_counter() - t0,
+                            n_inv_measure)
     # host readback forces real completion and surfaces deferred device
     # errors (axon executes asynchronously; a bare block_until_ready has
     # been observed to return before OOM errors are raised)
@@ -144,7 +145,8 @@ def main() -> None:
     out = pipe.sample_with_pnp(traj, inv_ts, text3, img_lat3, img_emb3,
                                num_inference_steps=n_edit_measure)
     _sync(out)
-    t_edit = time.perf_counter() - t0
+    t_edit = check_scan_time("i2vgen edit", time.perf_counter() - t0,
+                             n_edit_measure)
     assert np.isfinite(np.asarray(out).sum()), "edit produced non-finite"
     t_edit_total = t_edit if full else t_edit * (50 / n_edit_measure)
 

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from anyv2v_tpu.utils.benchguard import check_scan_time
+
 _T0 = time.perf_counter()
 
 
@@ -34,19 +36,14 @@ def _log(msg: str) -> None:
 
 
 def _sync(x) -> None:
-    """Hard sync: block + one-element host readback.
+    """Hard sync: dependent scalar through EVERY output leaf + finiteness.
 
-    Over the axon tunnel a bare ``block_until_ready`` intermittently returns
-    before the computation drains (observed: a 10-step edit scan "measuring"
-    at 9 ms); a device->host readback of any output element cannot. The
-    readback itself is one tiny transfer (<1 ms), negligible on the
-    multi-second legs measured here."""
-    import jax
-    import numpy as np
+    Round 4 shipped a corrupt ConsistI2V edit_s (47 ms for 50 steps) because
+    the old helper read back one element of one leaf and the axon tunnel
+    returned early; :func:`anyv2v_tpu.utils.benchguard.hard_sync` cannot."""
+    from anyv2v_tpu.utils.benchguard import hard_sync
 
-    jax.block_until_ready(x)
-    leaf = jax.tree_util.tree_leaves(x)[-1]
-    np.asarray(jax.device_get(leaf.ravel()[-1]))
+    hard_sync(x)
 
 
 def bench_consisti2v(full: bool):
@@ -88,7 +85,8 @@ def bench_consisti2v(full: bool):
     t0 = time.perf_counter()
     traj, inv_ts = pipe.invert(latents, text, num_inversion_steps=n_inv)
     _sync(traj)
-    t_inv = time.perf_counter() - t0
+    t_inv = check_scan_time("consisti2v invert", time.perf_counter() - t0,
+                            n_inv)
     assert np.isfinite(np.asarray(traj[-1]).sum())
     t_invert_total = t_inv if full else t_inv * (500 / n_inv)
 
@@ -106,7 +104,8 @@ def bench_consisti2v(full: bool):
     t0 = time.perf_counter()
     out = pipe.sample_with_pnp(traj, inv_ts, **kw)
     _sync(out)
-    t_edit = time.perf_counter() - t0
+    t_edit = check_scan_time("consisti2v edit", time.perf_counter() - t0,
+                             n_edit)
     assert np.isfinite(np.asarray(out).sum())
     t_edit_total = t_edit if full else t_edit * (50 / n_edit)
 
@@ -163,7 +162,7 @@ def bench_seine(full: bool):
                                 num_inversion_steps=n_inv,
                                 num_save_steps=max(n_inv // 2, 1))
     _sync(traj)
-    t_inv = time.perf_counter() - t0
+    t_inv = check_scan_time("seine invert", time.perf_counter() - t0, n_inv)
     assert np.isfinite(np.asarray(traj[-1]).sum())
     t_invert_total = t_inv if full else t_inv * (500 / n_inv)
 
@@ -180,7 +179,7 @@ def bench_seine(full: bool):
     t0 = time.perf_counter()
     out = pipe.sample_with_pnp(traj, traj_ts, **kw)
     _sync(out)
-    t_edit = time.perf_counter() - t0
+    t_edit = check_scan_time("seine edit", time.perf_counter() - t0, n_edit)
     assert np.isfinite(np.asarray(out).sum())
     t_edit_total = t_edit if full else t_edit * (50 / n_edit)
 

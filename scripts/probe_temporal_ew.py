@@ -53,6 +53,8 @@ CASES = [
 
 
 def main():
+    import os
+
     names = sys.argv[1:]
     for (label, b, s, sk, hw, heads, dh, use_bias) in CASES:
         if names and not any(n in label for n in names):
@@ -65,9 +67,20 @@ def main():
                             jnp.float32) if use_bias else None)
         scale = 1.0 / float(np.sqrt(dh))
         print(f"{label}: b={b} s={s} sk={sk} hw={hw} heads={heads} dh={dh}")
-        f_str = jax.jit(lambda q, k, v: short_attention_frames(
-            q, k, v, heads=heads, scale=scale, bias=bias))
-        o1, t1 = timed(f_str, q, k, v, label="strided/packed (routed)")
+        # Pin the baseline to the strided kernel: the auto router sends the
+        # headline shapes (head_dim<=8, hw>=4096) to the ew kernel itself, so
+        # an unpinned baseline would A/B the ew kernel against itself.
+        prev = os.environ.get("ANYV2V_TEMPORAL_VARIANT")
+        os.environ["ANYV2V_TEMPORAL_VARIANT"] = "strided"
+        try:
+            f_str = jax.jit(lambda q, k, v: short_attention_frames(
+                q, k, v, heads=heads, scale=scale, bias=bias))
+            o1, t1 = timed(f_str, q, k, v, label="strided/packed (pinned)")
+        finally:
+            if prev is None:
+                os.environ.pop("ANYV2V_TEMPORAL_VARIANT", None)
+            else:
+                os.environ["ANYV2V_TEMPORAL_VARIANT"] = prev
         f_ew = jax.jit(lambda q, k, v: temporal_ew_attention(
             q, k, v, heads=heads, scale=scale, bias=bias))
         o2, t2 = timed(f_ew, q, k, v, label="elementwise ew")

@@ -143,12 +143,16 @@ def test_temporal_ew_production_shape_matches_xla():
     k = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
 
+    prev = os.environ.get("ANYV2V_TEMPORAL_VARIANT")
     os.environ["ANYV2V_TEMPORAL_VARIANT"] = "ew"
     try:
         out_ew = np.asarray(
             temporal_attention(q, k, v, heads=heads), np.float32)
     finally:
-        del os.environ["ANYV2V_TEMPORAL_VARIANT"]
+        if prev is None:
+            os.environ.pop("ANYV2V_TEMPORAL_VARIANT", None)
+        else:
+            os.environ["ANYV2V_TEMPORAL_VARIANT"] = prev
     out_xla = np.asarray(
         temporal_attention(q, k, v, heads=heads, backend="xla"), np.float32)
 
@@ -156,3 +160,44 @@ def test_temporal_ew_production_shape_matches_xla():
     dev = np.abs(out_ew - out_xla).max()
     std = out_xla.std()
     assert dev < 0.35 * std, f"ew deviation {dev} vs out std {std}"
+
+
+def test_temporal_bias_compiled_matches_xla():
+    """Compiled (non-interpret) bias path of the temporal kernels on the real
+    chip: SEINE's T5 relative-position bias shape (heads=8, [heads, S, Sk]
+    additive scores). The CPU suite only ever runs this in interpret mode;
+    this covers the Mosaic-compiled bias blocks for both the strided/packed
+    router default and the forced ew variant."""
+    import jax.numpy as jnp
+
+    from anyv2v_tpu.ops.attention import temporal_attention
+
+    rng = np.random.RandomState(2)
+    b, s, hw, heads, dh = 2, 16, 1024, 8, 40
+    c = heads * dh
+    q = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, s, hw, c) * 0.3, jnp.bfloat16)
+    bias = jnp.asarray(rng.randn(heads, s, s) * 0.5, jnp.float32)
+
+    out_xla = np.asarray(
+        temporal_attention(q, k, v, heads=heads, bias=bias, backend="xla"),
+        np.float32)
+    std = out_xla.std()
+
+    for variant in ("strided", "ew"):
+        prev = os.environ.get("ANYV2V_TEMPORAL_VARIANT")
+        os.environ["ANYV2V_TEMPORAL_VARIANT"] = variant
+        try:
+            out = np.asarray(
+                temporal_attention(q, k, v, heads=heads, bias=bias),
+                np.float32)
+        finally:
+            if prev is None:
+                os.environ.pop("ANYV2V_TEMPORAL_VARIANT", None)
+            else:
+                os.environ["ANYV2V_TEMPORAL_VARIANT"] = prev
+        assert np.isfinite(out).all()
+        dev = np.abs(out - out_xla).max()
+        assert dev < 0.35 * std, \
+            f"{variant} bias deviation {dev} vs out std {std}"
