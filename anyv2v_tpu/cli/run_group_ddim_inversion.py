@@ -62,6 +62,10 @@ def ddim_inversion(pipe, tokenizer, cfg, frames):
         latents, text, img_lat, img_emb,
         num_inversion_steps=int(inv.n_steps), fps=int(inv.get("target_fps", 8)),
         chunk_steps=int(chunk) if chunk is not None else None,
+        # "host": keep the full grid in host RAM (long-video route — a 128f
+        # 500-point fp32 grid exceeds one chip's HBM); editing gathers only
+        # the sampling-grid rows back to device
+        traj_store=str(inv.get("traj_store", "device")),
     )
     vio.save_ddim_trajectory(inv.output_dir, np.asarray(traj), inv_ts)
     logger.info("saved %d-step trajectory to %s", len(inv_ts), inv.output_dir)

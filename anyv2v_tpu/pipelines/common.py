@@ -11,6 +11,7 @@ from functools import cached_property
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.vae import sample_from_moments
 
@@ -18,12 +19,74 @@ from ..models.vae import sample_from_moments
 DEFAULT_CHUNK_STEPS = 25
 
 
+class HostTrajectory:
+    """Full-grid inversion trajectory stored in HOST memory.
+
+    The reference keeps the whole per-step latent cache on disk
+    (``torch.save`` of ``ddim_latents_{t}.npy`` per step,
+    ``i2vgen-xl/pipelines/pipeline_i2vgen_xl.py:1424-1428``) and reloads
+    individual rows during editing — so the full 500-point grid never has to
+    fit in accelerator memory. This is that bus, minus the disk: the invert
+    loop appends each scan chunk here (device -> host), and the edit reads
+    back ONLY the rows on its sampling grid (<= ~50 of 500). A 128-frame
+    500-step fp32 grid is 16.8 GB — over a single v5e chip's HBM but trivial
+    in host RAM; the device-resident subset for a 50-step edit is 1/10th of
+    that.
+
+    Drop-in where a device trajectory array is accepted: ``__getitem__``
+    returns a device row, ``__array__`` the full host grid (the CLI's
+    ``save_ddim_trajectory``), ``gather_rows`` a device array of selected
+    rows. Rows arrive in ascending-t order, matching ``inv_ts``.
+    """
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+        self._grid: np.ndarray | None = None
+
+    def append(self, chunk: jax.Array) -> None:
+        """Store a [k, B, F, h, w, C] trajectory chunk host-side. The
+        device_get synchronizes the segment (the chunked invert loop already
+        serializes on the carried latent, so this adds no extra sync)."""
+        self._chunks.append(np.asarray(jax.device_get(chunk)))
+        self._grid = None
+
+    @property
+    def grid(self) -> np.ndarray:
+        if self._grid is None:
+            self._grid = (self._chunks[0] if len(self._chunks) == 1
+                          else np.concatenate(self._chunks, axis=0))
+            self._chunks = [self._grid]
+        return self._grid
+
+    def __len__(self) -> int:
+        return sum(c.shape[0] for c in self._chunks)
+
+    @property
+    def shape(self):
+        return (len(self),) + tuple(self._chunks[0].shape[1:])
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self._chunks)
+
+    def __array__(self, dtype=None):
+        g = self.grid
+        return g if dtype is None else g.astype(dtype)
+
+    def __getitem__(self, i):
+        return jnp.asarray(self.grid[i])
+
+    def gather_rows(self, rows) -> jax.Array:
+        """[len(rows), B, F, h, w, C] device array of the selected rows."""
+        return jnp.asarray(self.grid[np.asarray(rows)])
+
+
 def resolve_chunk_steps(requested: int | None = None) -> int:
     """Scan-dispatch segment length for the long inversion scans.
 
     Each segment is one device execution; the remote-TPU transport enforces a
     per-execution wall-clock limit (a 125-step segment at the checkpoint-true
-    heads=64 step cost exceeds it and kills the worker, measured round 5).
+    heads=64 step cost exceeds it and kills the worker, measured round 4).
     The default 25 keeps every architecture's segment well under the limit.
 
     Precedence: an EXPLICIT ``requested`` value (pipeline arg / CLI
@@ -90,6 +153,16 @@ class ShardingMixin:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self._mesh, self._video_spec())
         )
+
+    def _put_traj(self, x: jax.Array) -> jax.Array:
+        """Shard a trajectory [n, B, F, h, w, C] over the frame axis (the
+        at-rest layout of the inversion cache on a mesh)."""
+        if self._mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(
+            self._mesh, P(None, None, "frame", None, None, None)))
 
     def _put_frames(self, x: jax.Array) -> jax.Array:
         """Shard a flat frame batch [N, H, W, C] over all devices (VAE path)."""

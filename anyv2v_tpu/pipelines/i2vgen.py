@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..models.clip import CLIPTextModel, CLIPVisionModel
-from .common import LatentCodecMixin, resolve_chunk_steps
+from .common import HostTrajectory, LatentCodecMixin, resolve_chunk_steps
 from ..models.unet_i2vgen import I2VGenUNet, PnPFlags
 from ..models.vae import AutoencoderKL
 from ..schedulers import (
@@ -224,6 +224,7 @@ class I2VGenPipeline(LatentCodecMixin):
         fps: int = 8,
         chunk_steps: Optional[int] = None,
         num_save_steps: Optional[int] = None,
+        traj_store: str = "device",
     ):
         """Returns (trajectory [n, 1, F, h, w, 4], ascending timesteps [n]).
 
@@ -243,7 +244,16 @@ class I2VGenPipeline(LatentCodecMixin):
         retained trajectory shrinks proportionally — the difference between
         fitting and not fitting a 128-frame 500-point inversion in one
         chip's HBM (a full fp32 grid there is 16.8 GB).
+
+        ``traj_store="host"``: keep the FULL grid, but in host memory — the
+        reference's per-step disk cache (``pipeline_i2vgen_xl.py:1424-1428``)
+        without the disk. Each scan segment is offloaded as it completes
+        (peak device footprint = one ``chunk_steps`` segment), and the
+        returned :class:`~anyv2v_tpu.pipelines.common.HostTrajectory` feeds
+        the editor only the rows on its sampling grid. This is how a
+        128-frame 500-point FULL grid runs on one 16 GB chip.
         """
+        assert traj_store in ("device", "host"), traj_store
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
         keep = None
         if num_save_steps is not None and num_save_steps < num_inversion_steps:
@@ -260,6 +270,7 @@ class I2VGenPipeline(LatentCodecMixin):
             self._put_replicated(image_embeds),
         )
         x = self._put_video(video_latents)
+        store = HostTrajectory() if traj_store == "host" else None
         chunks = []
         step = min(resolve_chunk_steps(chunk_steps), num_inversion_steps)
         for start in range(0, num_inversion_steps, step):
@@ -275,9 +286,15 @@ class I2VGenPipeline(LatentCodecMixin):
                 # the retained rows, never the full grid
                 rows = np.nonzero(keep[start:start + step])[0]
                 traj_chunk = jnp.take(traj_chunk, jnp.asarray(rows), axis=0)
-            chunks.append(traj_chunk)
+            if store is not None:
+                store.append(traj_chunk)  # device -> host, frees the chunk
+            else:
+                chunks.append(traj_chunk)
+        kept_ts = inv_ts[keep] if keep is not None else inv_ts
+        if store is not None:
+            return store, kept_ts
         traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-        return traj, (inv_ts[keep] if keep is not None else inv_ts)
+        return traj, kept_ts
 
     # ------------------------------------------------------------------
     # PnP editing / plain sampling
@@ -377,6 +394,15 @@ class I2VGenPipeline(LatentCodecMixin):
         k_inj = int(np.max(np.nonzero(m_any)[0])) + 1 if m_any.any() else 0
         if not split_scan:
             k_inj = n_run
+
+        if isinstance(traj, HostTrajectory):
+            # host-resident full grid: bring on device ONLY the rows the
+            # injection scan reads (the batch-2 tail reads none), remapping
+            # the per-step row indices into the gathered subset
+            need = np.unique(cache_idx[:k_inj]) if k_inj > 0 \
+                else cache_idx[:1]
+            traj = self._put_traj(traj.gather_rows(need))
+            cache_idx = np.searchsorted(need, cache_idx).astype(np.int32)
 
         x = self._put_video(init_latent)
         if k_inj > 0:

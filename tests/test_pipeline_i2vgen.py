@@ -255,3 +255,42 @@ def test_save_grid_subsetting_roundtrip(stub_pipe):
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(latents),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_host_trajectory_store_matches_device(real_pipe):
+    """traj_store="host" (the reference's disk latent bus in host RAM,
+    ``pipeline_i2vgen_xl.py:1424-1428``) must reproduce the device-resident
+    trajectory path bit-for-bit: same grid, same edit output. The edit scan
+    receives only the rows on its sampling grid, remapped."""
+    from anyv2v_tpu.pipelines.common import HostTrajectory
+
+    pipe, frames01, F = real_pipe
+    rng = np.random.RandomState(7)
+    latents = pipe.encode_video(frames01)
+    text = jnp.asarray(rng.randn(1, 8, 16) * 0.02, jnp.float32)
+    img_lat = pipe.prepare_image_latents(frames01[0], F)
+    img_emb = jnp.asarray(rng.randn(1, 1, 16) * 0.02, jnp.float32)
+
+    traj_d, ts_d = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=20, chunk_steps=8)
+    traj_h, ts_h = pipe.invert(latents, text, img_lat, img_emb,
+                               num_inversion_steps=20, chunk_steps=8,
+                               traj_store="host")
+    assert isinstance(traj_h, HostTrajectory)
+    assert traj_h.shape == tuple(traj_d.shape)
+    np.testing.assert_array_equal(ts_d, ts_h)
+    np.testing.assert_array_equal(np.asarray(traj_d), np.asarray(traj_h))
+
+    kw = dict(
+        text_embeds_all=jnp.tile(text, (3, 1, 1)),
+        image_latents_all=jnp.tile(img_lat, (3, 1, 1, 1, 1)),
+        image_embeds_all=jnp.tile(img_emb, (3, 1, 1)),
+        num_inference_steps=10, t_idx=1, guidance_scale=9.0,
+    )
+    out_d = pipe.sample_with_pnp(traj_d, ts_d, **kw)
+    out_h = pipe.sample_with_pnp(traj_h, ts_h, **kw)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_h))
+
+    # recon path: __getitem__ returns a device row
+    row = traj_h[len(traj_h) - 1]
+    np.testing.assert_array_equal(np.asarray(row), np.asarray(traj_d[-1]))
