@@ -67,6 +67,12 @@ def _install_stubs() -> None:
     import torch.nn as nn
 
     if "diffusers" in sys.modules:
+        # a previous extractor installed a stub; ensure it covers SEINE's
+        # import surface (the consisti2v superset does), then add only the
+        # rotary shim below
+        d = sys.modules["diffusers"]
+        assert hasattr(d.models.embeddings, "TimestepEmbedding")
+        _install_rotary()
         return
 
     class _FrozenConfig(dict):
@@ -204,24 +210,29 @@ def _install_stubs() -> None:
                       ("diffusers.models.attention", dma)):
         sys.modules[name] = mod
 
-    if "rotary_embedding_torch" not in sys.modules:
-        if "beartype" not in sys.modules:
-            import typing
+    _install_rotary()
 
-            bt = types.ModuleType("beartype")
-            bt.beartype = lambda f: f
-            bt_typing = types.ModuleType("beartype.typing")
-            for nm in ("Literal", "Union", "Optional", "Tuple", "List",
-                       "Callable"):
-                setattr(bt_typing, nm, getattr(typing, nm))
-            bt.typing = bt_typing
-            sys.modules["beartype"] = bt
-            sys.modules["beartype.typing"] = bt_typing
-        spec = importlib.util.spec_from_file_location(
-            "rotary_embedding_torch", ROTARY_SRC)
-        rot = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(rot)
-        sys.modules["rotary_embedding_torch"] = rot
+
+def _install_rotary() -> None:
+    if "rotary_embedding_torch" in sys.modules:
+        return
+    if "beartype" not in sys.modules:
+        import typing
+
+        bt = types.ModuleType("beartype")
+        bt.beartype = lambda f: f
+        bt_typing = types.ModuleType("beartype.typing")
+        for nm in ("Literal", "Union", "Optional", "Tuple", "List",
+                   "Callable"):
+            setattr(bt_typing, nm, getattr(typing, nm))
+        bt.typing = bt_typing
+        sys.modules["beartype"] = bt
+        sys.modules["beartype.typing"] = bt_typing
+    spec = importlib.util.spec_from_file_location(
+        "rotary_embedding_torch", ROTARY_SRC)
+    rot = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rot)
+    sys.modules["rotary_embedding_torch"] = rot
 
 
 def seine_unet_state_dict_shapes() -> dict[str, list[int]]:

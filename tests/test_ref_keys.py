@@ -23,6 +23,8 @@ import anyv2v_tpu.utils.convert as C
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "seine_unet_keys.json")
+FIXTURE_C2V = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "consisti2v_unet_keys.json")
 
 
 class _TrackingSD(dict):
@@ -89,3 +91,65 @@ def test_seine_converter_accepts_real_checkpoint_keys_full_size():
     assert not non_rotary, (
         f"converter silently dropped {len(non_rotary)} checkpoint weights, "
         f"e.g. {sorted(non_rotary)[:5]}")
+
+@pytest.mark.slow
+def test_consisti2v_fixture_matches_reference_source():
+    """Fixture freshness for the ConsistI2V UNet (meta-device extraction
+    from the vendored reference source)."""
+    ref = "/root/reference/consisti2v/consisti2v/models/videoldm_unet.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference source not available")
+    from tests.ref_keys.extract_consisti2v import (
+        consisti2v_unet_state_dict_shapes)
+
+    live = consisti2v_unet_state_dict_shapes()
+    with open(FIXTURE_C2V) as f:
+        assert live == json.load(f)
+
+
+@pytest.mark.slow
+def test_consisti2v_converter_accepts_real_checkpoint_keys_full_size():
+    """convert_unet_videoldm over a synthetic snapshot bearing the literal
+    TIGER-Lab/ConsistI2V unet keys at FULL size -> exact flax init tree of
+    the production VideoLDMUNet config; every learned weight consumed.
+    Permitted leftovers: rotary `freqs` (deterministic constants) and the
+    `rotary_bias.relative_attention_bias` tables (the reference constructs
+    this LaVie-style bias but its rotary processor never applies it —
+    `videoldm_attention.py:560,566+` use only the rotary embedding; our
+    temporal attention mirrors the applied math, not the dead parameter)."""
+    from anyv2v_tpu.models.unet_videoldm import (VideoLDMUNet,
+                                                 VideoLDMUNetConfig)
+
+    with open(FIXTURE_C2V) as f:
+        fixture = json.load(f)
+    sd = _TrackingSD(
+        {k: np.zeros(s, np.float32) for k, s in fixture.items()})
+
+    converted = C.convert_unet_videoldm(sd)
+
+    cfg = VideoLDMUNetConfig(dtype=jnp.float32)  # production defaults
+    unet = VideoLDMUNet(cfg)
+    shapes = jax.eval_shape(
+        lambda: unet.init(
+            jax.random.PRNGKey(0),
+            sample=jnp.zeros((1, 3, 8, 8, 4)),
+            timestep=jnp.int32(0),
+            encoder_hidden_states=jnp.zeros((1, 4, cfg.cross_attention_dim)),
+            first_frame_latents=jnp.zeros((1, 1, 8, 8, 4)),
+            frame_stride=jnp.int32(3),
+        ))
+    C.assert_params_match(shapes, converted)
+
+    leftovers = set(fixture) - sd.accessed
+    allowed = {k for k in leftovers
+               if k.endswith("rotary_emb.freqs")
+               or k.endswith("rotary_bias.relative_attention_bias.weight")
+               # TemporalResnetBlock constructs a time_emb_proj at its
+               # default temb_channels=512, but every forward calls
+               # conv3d(hidden_states) with NO temb
+               # (videoldm_unet_blocks.py:523,728,929,942,1041,1153) — a
+               # dead parameter the checkpoint carries and we drop
+               or (".conv3ds." in k and ".time_emb_proj." in k)}
+    assert leftovers == allowed, (
+        f"converter silently dropped {len(leftovers - allowed)} weights, "
+        f"e.g. {sorted(leftovers - allowed)[:5]}")
