@@ -23,7 +23,11 @@ import numpy as np
 def inject_source_rows(x: jax.Array, inject: jax.Array, num_chunks: int = 3) -> jax.Array:
     """Replace every batch chunk with the first (source) chunk when ``inject``.
 
-    ``x``: [num_chunks * b, ...]; ``inject``: traced boolean scalar.
+    ``x``: [num_chunks * b, ...]; ``inject``: boolean scalar — traced (one
+    compiled graph covers injected and clean steps; both where-operands are
+    materialized every step) or a PYTHON bool (static-segment scan: the
+    branch resolves at trace time, so clean steps carry zero injection
+    traffic — see ``I2VGenPipeline.sample_with_pnp`` step grouping).
 
     Matches the reference's batch-thirds overwrite (generalized to the 2/3/4
     way CFG batches of ConsistI2V, ``pipeline_video_editing.py:1508-1551``).
@@ -33,6 +37,10 @@ def inject_source_rows(x: jax.Array, inject: jax.Array, num_chunks: int = 3) -> 
     b = x.shape[0] // num_chunks
     if b * num_chunks != x.shape[0]:
         raise ValueError(f"batch {x.shape[0]} not divisible by num_chunks {num_chunks}")
+    if isinstance(inject, bool):
+        if not inject:
+            return x
+        return jnp.tile(x[:b], (num_chunks,) + (1,) * (x.ndim - 1))
     src = jnp.tile(x[:b], (num_chunks,) + (1,) * (x.ndim - 1))
     return jnp.where(inject, src, x)
 

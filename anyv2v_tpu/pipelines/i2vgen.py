@@ -133,13 +133,22 @@ class I2VGenPipeline(LatentCodecMixin):
 
         vspec = P(None, "frame", None, None, None)
         has_pnp = pnp_flags is not None
-        flags = pnp_flags if has_pnp else ()
+        # STATIC flags (python bools, the per-pattern segmented scan) ride
+        # the closure — an operand would re-trace them into arrays and undo
+        # the compile-time fold
+        static_pnp = has_pnp and all(
+            isinstance(f, bool) for f in pnp_flags)
+        flags = pnp_flags if (has_pnp and not static_pnp) else ()
 
         def local(params, sample, timestep, text, fps, image_latents,
                   image_embeddings, flags):
             with manual_axis("frame", n):
                 kw = {}
-                if has_pnp:
+                if static_pnp:
+                    kw["pnp"] = PnPFlags(conv=pnp_flags[0],
+                                         spatial=pnp_flags[1],
+                                         temporal=pnp_flags[2])
+                elif has_pnp:
                     kw["pnp"] = PnPFlags(conv=flags[0], spatial=flags[1],
                                          temporal=flags[2])
                 return self.unet.apply(
@@ -302,11 +311,21 @@ class I2VGenPipeline(LatentCodecMixin):
 
     @cached_property
     def _sample_pnp(self):
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("static_flags",))
         def fn(params, init_latent, traj, text_embeds_all, image_latents_all,
-               image_embeds_all, fps3, step_data, cfg):
+               image_embeds_all, fps3, step_data, cfg, static_flags=None):
             def body(x, step):
-                t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp = step
+                if static_flags is None:
+                    t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp = step
+                    flags = (inj_conv, inj_sp, inj_tmp)
+                else:
+                    # per-pattern segmented scan: the flags are trace-time
+                    # constants, so clean layers compile with zero injection
+                    # traffic (the traced-where keeps both operands live)
+                    t, t_prev, cache_i = step
+                    flags = static_flags
                 src = jax.lax.dynamic_index_in_dim(
                     traj, cache_i, axis=0, keepdims=False
                 ).astype(jnp.float32)
@@ -319,7 +338,7 @@ class I2VGenPipeline(LatentCodecMixin):
                     fps=fps3,
                     image_latents=image_latents_all,
                     image_embeddings=image_embeds_all,
-                    pnp_flags=(inj_conv, inj_sp, inj_tmp),
+                    pnp_flags=flags,
                 ).astype(jnp.float32)
                 _eps_src, eps_neg, eps_edit = jnp.split(eps3, 3, axis=0)
                 eps = eps_neg + cfg * (eps_edit - eps_neg)
@@ -406,22 +425,51 @@ class I2VGenPipeline(LatentCodecMixin):
 
         x = self._put_video(init_latent)
         if k_inj > 0:
-            step_data = (
-                jnp.asarray(ts_run[:k_inj], jnp.int32),
-                jnp.asarray(ts_prev[:k_inj], jnp.int32),
-                jnp.asarray(cache_idx[:k_inj], jnp.int32),
-                jnp.asarray(m_conv[:k_inj]),
-                jnp.asarray(m_sp[:k_inj]),
-                jnp.asarray(m_tmp[:k_inj]),
-            )
+            import os
+
             fps3 = jnp.full((3,), fps, jnp.int32)
-            x = self._sample_pnp(
-                self.params, x, traj,
+            rep_args = (
                 self._put_replicated(text_embeds_all),
                 self._put_replicated(image_latents_all),
                 self._put_replicated(image_embeds_all),
-                fps3, step_data, jnp.float32(guidance_scale),
             )
+            if os.environ.get("ANYV2V_PNP_STATIC", "1") != "0":
+                # group the injection prefix into runs of constant
+                # (conv, spatial, temporal) pattern — the masks are
+                # host-known and monotone thresholds give at most ~3 runs —
+                # and compile each run with STATIC flags: the traced-where
+                # injection formatting (a second Q/K materialization per
+                # attention, every step) folds away wherever a flag is off.
+                runs = []
+                for i in range(k_inj):
+                    pat = (bool(m_conv[i]), bool(m_sp[i]), bool(m_tmp[i]))
+                    if runs and runs[-1][1] == pat:
+                        runs[-1] = (runs[-1][0], pat, i + 1)
+                    else:
+                        runs.append((i, pat, i + 1))
+                for start, pat, stop in runs:
+                    step_data = (
+                        jnp.asarray(ts_run[start:stop], jnp.int32),
+                        jnp.asarray(ts_prev[start:stop], jnp.int32),
+                        jnp.asarray(cache_idx[start:stop], jnp.int32),
+                    )
+                    x = self._sample_pnp(
+                        self.params, x, traj, *rep_args, fps3, step_data,
+                        jnp.float32(guidance_scale), static_flags=pat,
+                    )
+            else:
+                step_data = (
+                    jnp.asarray(ts_run[:k_inj], jnp.int32),
+                    jnp.asarray(ts_prev[:k_inj], jnp.int32),
+                    jnp.asarray(cache_idx[:k_inj], jnp.int32),
+                    jnp.asarray(m_conv[:k_inj]),
+                    jnp.asarray(m_sp[:k_inj]),
+                    jnp.asarray(m_tmp[:k_inj]),
+                )
+                x = self._sample_pnp(
+                    self.params, x, traj, *rep_args, fps3, step_data,
+                    jnp.float32(guidance_scale),
+                )
         if k_inj < n_run:
             # injection over: the source row's eps is discarded by the CFG
             # combine, so the remaining steps drop it from the batch
