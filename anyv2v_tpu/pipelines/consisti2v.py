@@ -204,11 +204,16 @@ class ConsistI2VPipeline(LatentCodecMixin):
 
         vspec = P(None, "frame", None, None, None)
         has_pnp = pnp_flags is not None
-        flags = pnp_flags if has_pnp else ()
+        # static python-bool flags ride the closure (see I2VGenPipeline)
+        static_pnp = has_pnp and all(isinstance(f, bool) for f in pnp_flags)
+        flags = pnp_flags if (has_pnp and not static_pnp) else ()
 
         def local(params, sample, timestep, text, ffl, frame_stride, flags):
             with manual_axis("frame", n):
-                kw = {"pnp": mk_pnp(flags)} if has_pnp else {}
+                if static_pnp:
+                    kw = {"pnp": mk_pnp(pnp_flags)}
+                else:
+                    kw = {"pnp": mk_pnp(flags)} if has_pnp else {}
                 return unet.apply(
                     params, sample=sample, timestep=timestep,
                     encoder_hidden_states=text, first_frame_latents=ffl,
@@ -226,14 +231,20 @@ class ConsistI2VPipeline(LatentCodecMixin):
     def _sample_pnp(self):
         from functools import partial
 
-        @partial(jax.jit, static_argnames=("mode",))
+        @partial(jax.jit, static_argnames=("mode", "static_flags"))
         def fn(params, init_latent, cache_ff, traj, text_all, ff_src, ff_edit,
-               frame_stride, step_data, cfg_txt, cfg_img, rescale, *, mode):
+               frame_stride, step_data, cfg_txt, cfg_img, rescale, *, mode,
+               static_flags=None):
             n_chunks = {None: 2, "text": 3, "both": 4}[mode]
             unet = self._unet_for_chunks(n_chunks)
 
             def body(x, step):
-                t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp = step
+                if static_flags is None:
+                    t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp = step
+                    flags = (inj_conv, inj_sp, inj_tmp)
+                else:
+                    t, t_prev, cache_i = step
+                    flags = static_flags
                 row = jax.lax.dynamic_index_in_dim(traj, cache_i, 0, keepdims=False)
                 src = row[:, 1:].astype(jnp.float32)   # strip cached frame 0
                 if mode is None:
@@ -252,7 +263,7 @@ class ConsistI2VPipeline(LatentCodecMixin):
                     encoder_hidden_states=text_all,
                     first_frame_latents=ffl,
                     frame_stride=frame_stride,
-                    pnp_flags=(inj_conv, inj_sp, inj_tmp),
+                    pnp_flags=flags,
                 ).astype(jnp.float32)
                 if mode is None:
                     _s, eps = jnp.split(eps_all, 2, axis=0)
@@ -376,21 +387,48 @@ class ConsistI2VPipeline(LatentCodecMixin):
         cache_ff = self._put_replicated(cache_ff)
         text_embeds_all = self._put_replicated(text_embeds_all)
         if k_inj > 0:
-            step_data = (
-                jnp.asarray(ts_run[:k_inj], jnp.int32),
-                jnp.asarray(ts_run[:k_inj] - step_ratio, jnp.int32),
-                jnp.asarray(cache_idx[:k_inj], jnp.int32),
-                jnp.asarray(m_conv[:k_inj]), jnp.asarray(m_sp[:k_inj]),
-                jnp.asarray(m_tmp[:k_inj]),
-            )
-            out = self._sample_pnp(
-                self.params, out, cache_ff, traj, text_embeds_all,
-                self._put_replicated(src_ff_latent.astype(jnp.float32)),
-                self._put_replicated(edited_ff_latent.astype(jnp.float32)),
-                jnp.int32(frame_stride), step_data,
-                jnp.float32(cfg_txt), jnp.float32(cfg_img),
-                jnp.float32(guidance_rescale), mode=mode,
-            )
+            import os
+
+            ff_src3 = self._put_replicated(src_ff_latent.astype(jnp.float32))
+            ff_edit3 = self._put_replicated(
+                edited_ff_latent.astype(jnp.float32))
+            fstride = jnp.int32(frame_stride)
+            cfgs = (jnp.float32(cfg_txt), jnp.float32(cfg_img),
+                    jnp.float32(guidance_rescale))
+
+            def run_pnp(out, step_data, static_flags):
+                return self._sample_pnp(
+                    self.params, out, cache_ff, traj, text_embeds_all,
+                    ff_src3, ff_edit3, fstride, step_data, *cfgs,
+                    mode=mode, static_flags=static_flags)
+
+            if os.environ.get("ANYV2V_PNP_STATIC", "1") != "0":
+                # constant-flag runs compiled with STATIC flags (see
+                # I2VGenPipeline.sample_with_pnp): the traced-where Q/K
+                # materialization folds away wherever a flag is off
+                runs = []
+                for i in range(k_inj):
+                    pat = (bool(m_conv[i]), bool(m_sp[i]), bool(m_tmp[i]))
+                    if runs and runs[-1][1] == pat:
+                        runs[-1] = (runs[-1][0], pat, i + 1)
+                    else:
+                        runs.append((i, pat, i + 1))
+                for start, pat, stop in runs:
+                    step_data = (
+                        jnp.asarray(ts_run[start:stop], jnp.int32),
+                        jnp.asarray(ts_run[start:stop] - step_ratio, jnp.int32),
+                        jnp.asarray(cache_idx[start:stop], jnp.int32),
+                    )
+                    out = run_pnp(out, step_data, pat)
+            else:
+                step_data = (
+                    jnp.asarray(ts_run[:k_inj], jnp.int32),
+                    jnp.asarray(ts_run[:k_inj] - step_ratio, jnp.int32),
+                    jnp.asarray(cache_idx[:k_inj], jnp.int32),
+                    jnp.asarray(m_conv[:k_inj]), jnp.asarray(m_sp[:k_inj]),
+                    jnp.asarray(m_tmp[:k_inj]),
+                )
+                out = run_pnp(out, step_data, None)
         if k_inj < n_run:
             step_data2 = (
                 jnp.asarray(ts_run[k_inj:], jnp.int32),

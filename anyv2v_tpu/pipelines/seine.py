@@ -141,11 +141,16 @@ class SeinePipeline(LatentCodecMixin):
 
         vspec = P(None, "frame", None, None, None)
         has_pnp = pnp_flags is not None
-        flags = pnp_flags if has_pnp else ()
+        # static python-bool flags ride the closure (see I2VGenPipeline)
+        static_pnp = has_pnp and all(isinstance(f, bool) for f in pnp_flags)
+        flags = pnp_flags if (has_pnp and not static_pnp) else ()
 
         def local(params, sample, timestep, text, flags):
             with manual_axis("frame", n):
-                kw = {"pnp": mk_pnp(flags)} if has_pnp else {}
+                if static_pnp:
+                    kw = {"pnp": mk_pnp(pnp_flags)}
+                else:
+                    kw = {"pnp": mk_pnp(flags)} if has_pnp else {}
                 return self.unet.apply(
                     params, sample=sample, timestep=timestep,
                     encoder_hidden_states=text, **kw)
@@ -217,11 +222,18 @@ class SeinePipeline(LatentCodecMixin):
 
     @cached_property
     def _sample_pnp(self):
-        @partial(jax.jit, static_argnames=("sampler", "do_cfg"))
+        @partial(jax.jit, static_argnames=("sampler", "do_cfg",
+                                           "static_flags"))
         def fn(params, init_latent, traj, text_all, mask, masked_edit, masked_src,
-               step_data, cfg, noises, *, sampler, do_cfg):
+               step_data, cfg, noises, *, sampler, do_cfg, static_flags=None):
             def body(x, step):
-                t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp, inj_x, noise = step
+                if static_flags is None:
+                    (t, t_prev, cache_i, inj_conv, inj_sp, inj_tmp, inj_x,
+                     noise) = step
+                    flags = (inj_conv, inj_sp, inj_x, inj_tmp)
+                else:
+                    t, t_prev, cache_i, noise = step
+                    flags = static_flags
                 src = jax.lax.dynamic_index_in_dim(traj, cache_i, 0, keepdims=False
                                                    ).astype(jnp.float32)
                 src_in = self._nine_channel(src, mask, masked_src)
@@ -230,7 +242,7 @@ class SeinePipeline(LatentCodecMixin):
                 eps3 = self._apply_unet(
                     params["unet"], sample=inp, timestep=t,
                     encoder_hidden_states=text_all,
-                    pnp_flags=(inj_conv, inj_sp, inj_x, inj_tmp),
+                    pnp_flags=flags,
                 ).astype(jnp.float32)
                 # SEINE order: [src, cond, uncond] (run_pnp_edit.py:183-215)
                 _s, e_cond, e_uncond = jnp.split(eps3, 3, axis=0)
@@ -330,20 +342,47 @@ class SeinePipeline(LatentCodecMixin):
         mask = self._put_video(mask)
         text_embeds_all = self._put_replicated(text_embeds_all)
         if k_inj > 0:
-            step_data = (
-                jnp.asarray(ts[:k_inj], jnp.int32),
-                jnp.asarray(ts_prev[:k_inj], jnp.int32),
-                jnp.asarray(cache_idx[:k_inj], jnp.int32),
-                jnp.asarray(m_conv[:k_inj]), jnp.asarray(m_sp[:k_inj]),
-                jnp.asarray(m_tmp[:k_inj]), jnp.asarray(m_x[:k_inj]),
-            )
-            x = self._sample_pnp(
-                self.params, x, traj, text_embeds_all, mask,
-                self._put_video(masked_edit_latent.astype(jnp.float32)),
-                self._put_video(masked_src_latent.astype(jnp.float32)),
-                step_data, jnp.float32(cfg_scale), noises[:k_inj],
-                sampler=sampler, do_cfg=cfg_scale > 1.0,
-            )
+            import os
+
+            m_edit = self._put_video(masked_edit_latent.astype(jnp.float32))
+            m_src = self._put_video(masked_src_latent.astype(jnp.float32))
+            if os.environ.get("ANYV2V_PNP_STATIC", "1") != "0":
+                # constant-flag runs compiled with STATIC flags (see
+                # I2VGenPipeline.sample_with_pnp); pattern order matches the
+                # traced tuple: (conv, spatial, cross, temporal)
+                runs = []
+                for i in range(k_inj):
+                    pat = (bool(m_conv[i]), bool(m_sp[i]), bool(m_x[i]),
+                           bool(m_tmp[i]))
+                    if runs and runs[-1][1] == pat:
+                        runs[-1] = (runs[-1][0], pat, i + 1)
+                    else:
+                        runs.append((i, pat, i + 1))
+                for start, pat, stop in runs:
+                    step_data = (
+                        jnp.asarray(ts[start:stop], jnp.int32),
+                        jnp.asarray(ts_prev[start:stop], jnp.int32),
+                        jnp.asarray(cache_idx[start:stop], jnp.int32),
+                    )
+                    x = self._sample_pnp(
+                        self.params, x, traj, text_embeds_all, mask,
+                        m_edit, m_src, step_data, jnp.float32(cfg_scale),
+                        noises[start:stop], sampler=sampler,
+                        do_cfg=cfg_scale > 1.0, static_flags=pat,
+                    )
+            else:
+                step_data = (
+                    jnp.asarray(ts[:k_inj], jnp.int32),
+                    jnp.asarray(ts_prev[:k_inj], jnp.int32),
+                    jnp.asarray(cache_idx[:k_inj], jnp.int32),
+                    jnp.asarray(m_conv[:k_inj]), jnp.asarray(m_sp[:k_inj]),
+                    jnp.asarray(m_tmp[:k_inj]), jnp.asarray(m_x[:k_inj]),
+                )
+                x = self._sample_pnp(
+                    self.params, x, traj, text_embeds_all, mask,
+                    m_edit, m_src, step_data, jnp.float32(cfg_scale),
+                    noises[:k_inj], sampler=sampler, do_cfg=cfg_scale > 1.0,
+                )
         if k_inj < n_run:
             # injection over: drop the source branch from the batch
             step_data2 = (jnp.asarray(ts[k_inj:], jnp.int32),
