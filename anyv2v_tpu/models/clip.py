@@ -145,7 +145,13 @@ class CLIPVisionModel(nn.Module):
     config: CLIPVisionConfig = CLIPVisionConfig()
 
     @nn.compact
-    def __call__(self, pixel_values: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, pixel_values: jax.Array,
+                 penultimate: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """``penultimate=True`` returns the hidden state BEFORE the last
+        layer (HF ``hidden_states[-2]``, no final norm) as the first output
+        — what the IP-Adapter Plus/Full variants feed their projection
+        (``ip_adapter/ip_adapter.py:352``). ``image_embeds`` always comes
+        from the full stack."""
         cfg = self.config
         b = pixel_values.shape[0]
         n_patches = (cfg.image_size // cfg.patch_size) ** 2
@@ -169,7 +175,10 @@ class CLIPVisionModel(nn.Module):
         )
         x = x + pos[None].astype(cfg.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_layrnorm")(x).astype(cfg.dtype)
+        hidden_penultimate = None
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                hidden_penultimate = x
             x = _CLIPLayer(cfg.num_heads, cfg.intermediate_size, cfg.hidden_act,
                            cfg.dtype, name=f"layers_{i}")(x, causal=False)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_layernorm")(
@@ -177,7 +186,7 @@ class CLIPVisionModel(nn.Module):
         ).astype(cfg.dtype)
         image_embeds = nn.Dense(cfg.projection_dim, use_bias=False, dtype=cfg.dtype,
                                 name="visual_projection")(pooled)
-        return x, image_embeds
+        return (hidden_penultimate if penultimate else x), image_embeds
 
 
 # CLIP image preprocessing constants (transformers CLIPImageProcessor)

@@ -52,6 +52,58 @@ class ImageProjModel(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
 
 
+class MLPProjModel(nn.Module):
+    """IP-Adapter-FULL image projection (``ip_adapter/ip_adapter.py:48-64``):
+    per-patch MLP Linear -> GELU -> Linear -> LayerNorm over the CLIP
+    penultimate hidden states; token count = patch count (no pooling)."""
+
+    cross_attention_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_tokens: jax.Array) -> jax.Array:
+        """[B, S_img, D_clip] -> [B, S_img, cross_dim]."""
+        d_clip = image_tokens.shape[-1]
+        x = nn.Dense(d_clip, dtype=self.dtype, name="proj_0")(
+            image_tokens.astype(self.dtype))
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.cross_attention_dim, dtype=self.dtype,
+                     name="proj_2")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            name="proj_3")(x).astype(self.dtype)
+
+
+def ip_image_embeds(vision_encoder, vision_params, proj_module, proj_params,
+                    image_clip: jax.Array, variant: str = "xl"):
+    """(cond, uncond) IP tokens for every reference adapter variant.
+
+    Reference ``get_image_embeds`` per class (``ip_adapter/ip_adapter.py``):
+    - base / xl (:155-169): pooled CLIP projection -> ImageProjModel; the
+      uncond row projects a ZERO clip embedding;
+    - plus / plus-xl (:346-358, :388-400): PENULTIMATE hidden states
+      (``hidden_states[-2]``) -> Resampler; uncond runs a ZERO IMAGE
+      through the encoder (not a zero embedding);
+    - full (:360-369): penultimate hidden states -> MLPProjModel, uncond
+      as in plus.
+
+    ``image_clip``: CLIP-normalized [B, H, W, 3].
+    """
+    if variant in ("base", "xl"):
+        _, pooled = vision_encoder.apply(vision_params, image_clip)
+        cond = proj_module.apply(proj_params, pooled)
+        unc = proj_module.apply(proj_params, jnp.zeros_like(pooled))
+        return cond, unc
+    if variant not in ("plus", "plus-xl", "full"):
+        raise ValueError(f"unknown IP-Adapter variant {variant!r}")
+    hidden, _ = vision_encoder.apply(vision_params, image_clip,
+                                     penultimate=True)
+    hidden0, _ = vision_encoder.apply(vision_params,
+                                      jnp.zeros_like(image_clip),
+                                      penultimate=True)
+    return (proj_module.apply(proj_params, hidden),
+            proj_module.apply(proj_params, hidden0))
+
+
 def canny_map(image01: np.ndarray, low: int = 50, high: int = 200) -> np.ndarray:
     """cv2.Canny of an RGB [H, W, 3] image in [0,1] -> 3-channel [0,1]
     (reference instantstyle.py:47-50)."""

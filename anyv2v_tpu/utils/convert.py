@@ -979,6 +979,47 @@ def convert_ip_adapter(ip_sd: Mapping[str, Mapping[str, np.ndarray]],
     return image_proj, per_block
 
 
+def convert_resampler(proj_sd: Mapping[str, np.ndarray], depth: int = 4) -> Tree:
+    """ip-adapter-plus* ``image_proj`` state dict (the perceiver
+    ``Resampler``, ``ip_adapter/resampler.py:81-147``) ->
+    pipelines.instantstyle.Resampler params. ``to_kv`` is one fused Linear
+    in torch; our module splits it into k/v heads column-wise."""
+    p: Tree = {
+        "latents": np.asarray(proj_sd["latents"])[0],   # [1, Q, D] -> [Q, D]
+        "proj_in": t_linear(proj_sd, "proj_in"),
+        "proj_out": t_linear(proj_sd, "proj_out"),
+        "norm_out": t_norm(proj_sd, "norm_out"),
+    }
+    for i in range(depth):
+        a = f"layers.{i}.0"       # PerceiverAttention
+        f = f"layers.{i}.1"       # FeedForward Sequential
+        kv = np.asarray(proj_sd[f"{a}.to_kv.weight"])   # [2*inner, D]
+        inner = kv.shape[0] // 2
+        p[f"layers_{i}_norm1"] = t_norm(proj_sd, f"{a}.norm1")
+        p[f"layers_{i}_norm2"] = t_norm(proj_sd, f"{a}.norm2")
+        p[f"layers_{i}_to_q"] = t_linear(proj_sd, f"{a}.to_q", bias=False)
+        p[f"layers_{i}_to_kv_k"] = {
+            "kernel": np.ascontiguousarray(kv[:inner].T)}
+        p[f"layers_{i}_to_kv_v"] = {
+            "kernel": np.ascontiguousarray(kv[inner:].T)}
+        p[f"layers_{i}_to_out"] = t_linear(proj_sd, f"{a}.to_out", bias=False)
+        p[f"layers_{i}_ff_norm"] = t_norm(proj_sd, f"{f}.0")
+        p[f"layers_{i}_ff_in"] = t_linear(proj_sd, f"{f}.1", bias=False)
+        p[f"layers_{i}_ff_out"] = t_linear(proj_sd, f"{f}.3", bias=False)
+    return {"params": p}
+
+
+def convert_mlp_proj(proj_sd: Mapping[str, np.ndarray]) -> Tree:
+    """ip-adapter-full ``image_proj`` (``MLPProjModel``,
+    ``ip_adapter/ip_adapter.py:48-64``) -> pipelines.instantstyle
+    .MLPProjModel params."""
+    return {"params": {
+        "proj_0": t_linear(proj_sd, "proj.0"),
+        "proj_2": t_linear(proj_sd, "proj.2"),
+        "proj_3": t_norm(proj_sd, "proj.3"),
+    }}
+
+
 def merge_ip_adapter_into_unet(unet_params: Tree, per_block: Dict[str, Tree]) -> Tree:
     """Graft converted ip trees into a converted SDUNet params tree."""
     import copy

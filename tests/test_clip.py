@@ -77,6 +77,18 @@ def test_vision_encoder_matches_hf():
         np.asarray(got_embeds), out.image_embeds.numpy(), rtol=2e-4, atol=2e-5
     )
 
+    # penultimate hidden states (IP-Adapter Plus/Full input) vs HF
+    # hidden_states[-2]
+    with torch.no_grad():
+        out_h = hf(torch.from_numpy(img), output_hidden_states=True)
+    got_pen, _ = CLIPVisionModel(cfg).apply(
+        params, jnp.asarray(img.transpose(0, 2, 3, 1)), penultimate=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pen), out_h.hidden_states[-2].numpy(),
+        rtol=2e-4, atol=2e-5
+    )
+
 
 def test_text_encoder_quick_gelu_variant():
     """OpenAI-family checkpoints use quick_gelu; verify that path too."""
