@@ -156,13 +156,17 @@ class ShardingMixin:
 
     def _put_traj(self, x: jax.Array) -> jax.Array:
         """Shard a trajectory [n, B, F, h, w, C] over the frame axis (the
-        at-rest layout of the inversion cache on a mesh)."""
+        at-rest layout of the inversion cache on a mesh). Replicates when F
+        doesn't divide the mesh (ConsistI2V rows carry the conditioning
+        frame: F_real + 1)."""
         if self._mesh is None:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(x, NamedSharding(
-            self._mesh, P(None, None, "frame", None, None, None)))
+        n_frame = self._mesh.shape.get("frame", 1)
+        spec = (P(None, None, "frame", None, None, None)
+                if x.shape[2] % n_frame == 0 else P())
+        return jax.device_put(x, NamedSharding(self._mesh, spec))
 
     def _put_frames(self, x: jax.Array) -> jax.Array:
         """Shard a flat frame batch [N, H, W, C] over all devices (VAE path)."""

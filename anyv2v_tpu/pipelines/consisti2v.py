@@ -132,13 +132,20 @@ class ConsistI2VPipeline(LatentCodecMixin):
         num_inversion_steps: int = 500,
         frame_stride: int = 3,
         chunk_steps: Optional[int] = None,
+        traj_store: str = "device",
     ):
         """cfg_txt = cfg_img = 1.0 inversion (reference
         ``configs/pipeline_512/ddim_inversion_512.yaml:24-31``). Dispatched in
-        ``chunk_steps`` segments (remote-TPU per-execution time limit)."""
+        ``chunk_steps`` segments (remote-TPU per-execution time limit).
+        ``traj_store="host"``: offload the full grid to host RAM per segment
+        (long-video route — see ``I2VGenPipeline.invert``)."""
+        from .common import HostTrajectory
+
+        assert traj_store in ("device", "host"), traj_store
         ff = self._put_replicated(video_latents[:, :1])
         rest = self._put_video(video_latents[:, 1:])
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
+        store = HostTrajectory() if traj_store == "host" else None
         chunks = []
         step = min(resolve_chunk_steps(chunk_steps), num_inversion_steps)
         x = rest
@@ -149,8 +156,13 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 jnp.asarray(inv_ts[start:start + step], jnp.int32),
                 total_steps=num_inversion_steps,
             )
-            chunks.append(traj_chunk)
             x = traj_chunk[-1][:, 1:].astype(jnp.float32)  # strip cached frame 0
+            if store is not None:
+                store.append(traj_chunk)
+            else:
+                chunks.append(traj_chunk)
+        if store is not None:
+            return store, inv_ts
         traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
         return traj, inv_ts  # traj rows: [1, F, h, w, 4] WITH clean frame 0
 
@@ -382,6 +394,15 @@ class ConsistI2VPipeline(LatentCodecMixin):
         k_inj = int(np.max(np.nonzero(m_any)[0])) + 1 if m_any.any() else 0
         if not split_scan:
             k_inj = n_run
+
+        from .common import HostTrajectory
+
+        if isinstance(traj, HostTrajectory):
+            # host-resident grid: device-load only the injection scan's rows
+            need = np.unique(cache_idx[:k_inj]) if k_inj > 0 \
+                else cache_idx[:1]
+            traj = self._put_traj(traj.gather_rows(need))
+            cache_idx = np.searchsorted(need, cache_idx).astype(np.int32)
 
         out = self._put_video(init_latent)
         cache_ff = self._put_replicated(cache_ff)

@@ -193,12 +193,21 @@ class SeinePipeline(LatentCodecMixin):
         num_inversion_steps: int = 500,
         num_save_steps: int = 250,
         chunk_steps: Optional[int] = None,
+        traj_store: str = "device",
     ):
         """Returns (trajectory at the save grid, its timesteps) — the
         reference persists only the 250-step toy-scheduler sub-grid
         (``run_ddim_inversion.py:295-308``). Dispatched in ``chunk_steps``
-        segments (remote-TPU per-execution time limit)."""
+        segments (remote-TPU per-execution time limit).
+        ``traj_store="host"``: offload the save-grid rows to host RAM per
+        segment (long-video route — see ``I2VGenPipeline.invert``)."""
+        from .common import HostTrajectory
+
+        assert traj_store in ("device", "host"), traj_store
         inv_ts = inversion_timesteps(self.schedule, num_inversion_steps)
+        save_ts = np.sort(sampling_timesteps(self.schedule, num_save_steps))
+        keep = np.isin(inv_ts, save_ts)
+        store = HostTrajectory() if traj_store == "host" else None
         chunks = []
         step = min(resolve_chunk_steps(chunk_steps), num_inversion_steps)
         x = self._put_video(video_latents)
@@ -211,12 +220,18 @@ class SeinePipeline(LatentCodecMixin):
                 jnp.asarray(inv_ts[start:start + step], jnp.int32),
                 total_steps=num_inversion_steps,
             )
-            chunks.append(traj_chunk)
             x = traj_chunk[-1].astype(jnp.float32)
+            # subselect the save grid per chunk (peak footprint = one chunk)
+            rows = np.nonzero(keep[start:start + step])[0]
+            traj_chunk = jnp.take(traj_chunk, jnp.asarray(rows), axis=0)
+            if store is not None:
+                store.append(traj_chunk)
+            else:
+                chunks.append(traj_chunk)
+        if store is not None:
+            return store, inv_ts[keep]
         traj = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-        save_ts = np.sort(sampling_timesteps(self.schedule, num_save_steps))
-        keep = np.isin(inv_ts, save_ts)
-        return traj[np.where(keep)[0]], inv_ts[keep]
+        return traj, inv_ts[keep]
 
     # -- PnP editing -------------------------------------------------------
 
@@ -337,6 +352,15 @@ class SeinePipeline(LatentCodecMixin):
         k_inj = int(np.max(np.nonzero(m_any)[0])) + 1 if m_any.any() else 0
         if not split_scan:
             k_inj = n_run
+
+        from .common import HostTrajectory
+
+        if isinstance(traj, HostTrajectory):
+            # host-resident grid: device-load only the injection scan's rows
+            need = np.unique(cache_idx[:k_inj]) if k_inj > 0 \
+                else cache_idx[:1]
+            traj = self._put_traj(traj.gather_rows(need))
+            cache_idx = np.searchsorted(need, cache_idx).astype(np.int32)
 
         x = self._put_video(init_latent)
         mask = self._put_video(mask)

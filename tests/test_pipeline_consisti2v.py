@@ -226,3 +226,28 @@ def test_split_scan_matches_monolithic(pipe_and_frames):
         out_mono = pipe.sample_with_pnp(split_scan=False, **kw)
         np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_mono),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_host_trajectory_store_matches_device(pipe_and_frames):
+    """traj_store="host" reproduces the device path bit-for-bit (see
+    I2VGenPipeline; the editor gathers only the sampling-grid rows)."""
+    from anyv2v_tpu.pipelines.common import HostTrajectory
+
+    pipe, frames01, F = pipe_and_frames
+    rng = np.random.RandomState(11)
+    latents = pipe.encode_video(frames01)
+    text = jnp.asarray(rng.randn(1, 8, 16) * 0.02, jnp.float32)
+
+    traj_d, ts_d = pipe.invert(latents, text, num_inversion_steps=20,
+                               chunk_steps=8)
+    traj_h, ts_h = pipe.invert(latents, text, num_inversion_steps=20,
+                               chunk_steps=8, traj_store="host")
+    assert isinstance(traj_h, HostTrajectory)
+    np.testing.assert_array_equal(np.asarray(traj_d), np.asarray(traj_h))
+
+    kw = dict(text_embeds_all=jnp.tile(text, (3, 1, 1)),
+              src_ff_latent=latents[:, :1], edited_ff_latent=latents[:, :1],
+              num_inference_steps=10, t_idx=1, cfg_txt=7.5, cfg_img=1.0)
+    out_d = pipe.sample_with_pnp(traj_d, ts_d, **kw)
+    out_h = pipe.sample_with_pnp(traj_h, ts_h, **kw)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_h))

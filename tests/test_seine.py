@@ -336,3 +336,32 @@ def test_seine_split_scan_matches_monolithic():
     out_mono = pipe.sample_with_pnp(split_scan=False, **kw)
     np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_mono),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_seine_host_trajectory_store_matches_device():
+    """traj_store="host" reproduces the device path bit-for-bit, including
+    the per-chunk save-grid subsetting."""
+    from anyv2v_tpu.pipelines.common import HostTrajectory
+
+    pipe = _tiny_pipeline()
+    rng = np.random.RandomState(5)
+    frames01 = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32))
+    latents = pipe.encode_video(frames01)
+    mask, masked = pipe.build_masked_inputs(frames01[0], 2)
+    text = jnp.zeros((1, 8, 16))
+
+    kw_inv = dict(num_inversion_steps=20, num_save_steps=10, chunk_steps=8)
+    traj_d, ts_d = pipe.invert(latents, mask, masked, text, **kw_inv)
+    traj_h, ts_h = pipe.invert(latents, mask, masked, text, **kw_inv,
+                               traj_store="host")
+    assert isinstance(traj_h, HostTrajectory)
+    np.testing.assert_array_equal(ts_d, ts_h)
+    np.testing.assert_array_equal(np.asarray(traj_d), np.asarray(traj_h))
+
+    text3 = jnp.tile(text, (3, 1, 1))
+    kw = dict(masked_edit_latent=masked * 1.1, masked_src_latent=masked,
+              num_inference_steps=5, cfg_scale=4.0, sampler="ddpm",
+              pnp=SeinePnPConfig(0.2, 0.2, 0.5, 0.0))
+    out_d = pipe.sample_with_pnp(traj_d, ts_d, text3, mask, **kw)
+    out_h = pipe.sample_with_pnp(traj_h, ts_h, text3, mask, **kw)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_h))
