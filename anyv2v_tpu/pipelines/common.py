@@ -41,22 +41,12 @@ class HostTrajectory:
 
     def __init__(self):
         self._chunks: list[np.ndarray] = []
-        self._grid: np.ndarray | None = None
 
     def append(self, chunk: jax.Array) -> None:
         """Store a [k, B, F, h, w, C] trajectory chunk host-side. The
         device_get synchronizes the segment (the chunked invert loop already
         serializes on the carried latent, so this adds no extra sync)."""
         self._chunks.append(np.asarray(jax.device_get(chunk)))
-        self._grid = None
-
-    @property
-    def grid(self) -> np.ndarray:
-        if self._grid is None:
-            self._grid = (self._chunks[0] if len(self._chunks) == 1
-                          else np.concatenate(self._chunks, axis=0))
-            self._chunks = [self._grid]
-        return self._grid
 
     def __len__(self) -> int:
         return sum(c.shape[0] for c in self._chunks)
@@ -69,16 +59,37 @@ class HostTrajectory:
     def nbytes(self) -> int:
         return sum(c.nbytes for c in self._chunks)
 
+    def _rows(self, rows: np.ndarray) -> np.ndarray:
+        """Gather rows ACROSS chunks without materializing the full grid —
+        the edit path reads <= ~50 of 500 rows, and building the grid would
+        transiently double host RAM at exactly the 128-frame workload this
+        store exists for."""
+        rows = np.asarray(rows)
+        out = np.empty((len(rows),) + tuple(self.shape[1:]),
+                       self._chunks[0].dtype)
+        starts = np.cumsum([0] + [c.shape[0] for c in self._chunks])
+        ci = np.searchsorted(starts, rows, side="right") - 1
+        for j, (r, c) in enumerate(zip(rows, ci)):
+            out[j] = self._chunks[c][r - starts[c]]
+        return out
+
     def __array__(self, dtype=None):
-        g = self.grid
+        # full-grid materialization (the CLI's save path); transiently
+        # holds grid + chunks — fine at save time, avoided on the edit path
+        g = (self._chunks[0] if len(self._chunks) == 1
+             else np.concatenate(self._chunks, axis=0))
         return g if dtype is None else g.astype(dtype)
 
     def __getitem__(self, i):
-        return jnp.asarray(self.grid[i])
+        if isinstance(i, (int, np.integer)):
+            i = int(i) % len(self)
+            return jnp.asarray(self._rows(np.array([i]))[0])
+        raise TypeError("HostTrajectory supports integer row indexing and "
+                        "gather_rows; use np.asarray() for the full grid")
 
     def gather_rows(self, rows) -> jax.Array:
         """[len(rows), B, F, h, w, C] device array of the selected rows."""
-        return jnp.asarray(self.grid[np.asarray(rows)])
+        return jnp.asarray(self._rows(np.asarray(rows)))
 
 
 def resolve_chunk_steps(requested: int | None = None) -> int:
@@ -103,6 +114,21 @@ def resolve_chunk_steps(requested: int | None = None) -> int:
     except ValueError as e:
         raise ValueError(
             f"ANYV2V_SCAN_CHUNK must be an integer, got {env!r}") from e
+
+
+def group_constant_runs(masks, k: int):
+    """Group steps [0, k) into maximal runs of a constant per-step flag
+    pattern. ``masks``: tuple of boolean arrays (one per flag). Returns
+    [(start, pattern_tuple, stop), ...] — the static-segment PnP scans
+    compile one program per run (see ``I2VGenPipeline.sample_with_pnp``)."""
+    runs = []
+    for i in range(k):
+        pat = tuple(bool(m[i]) for m in masks)
+        if runs and runs[-1][1] == pat:
+            runs[-1] = (runs[-1][0], pat, i + 1)
+        else:
+            runs.append((i, pat, i + 1))
+    return runs
 
 
 class ShardingMixin:
@@ -167,6 +193,21 @@ class ShardingMixin:
         spec = (P(None, None, "frame", None, None, None)
                 if x.shape[2] % n_frame == 0 else P())
         return jax.device_put(x, NamedSharding(self._mesh, spec))
+
+    def _device_rows_for_scan(self, traj, cache_idx: "np.ndarray", k: int):
+        """Resolve a trajectory for the injection scan: a HostTrajectory is
+        replaced by a device array of ONLY the rows the scan reads
+        (``cache_idx[:k]``), with the indices remapped into the gathered
+        subset. Device trajectories pass through unchanged. With k == 0 the
+        scan never reads the trajectory — callers must not use the returned
+        ``traj`` (None for a host store) outside a ``k > 0`` branch."""
+        if not isinstance(traj, HostTrajectory):
+            return traj, cache_idx
+        if k == 0:
+            return None, cache_idx
+        need = np.unique(cache_idx[:k])
+        traj = self._put_traj(traj.gather_rows(need))
+        return traj, np.searchsorted(need, cache_idx).astype(np.int32)
 
     def _put_frames(self, x: jax.Array) -> jax.Array:
         """Shard a flat frame batch [N, H, W, C] over all devices (VAE path)."""

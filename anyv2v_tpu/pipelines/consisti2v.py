@@ -395,14 +395,8 @@ class ConsistI2VPipeline(LatentCodecMixin):
         if not split_scan:
             k_inj = n_run
 
-        from .common import HostTrajectory
-
-        if isinstance(traj, HostTrajectory):
-            # host-resident grid: device-load only the injection scan's rows
-            need = np.unique(cache_idx[:k_inj]) if k_inj > 0 \
-                else cache_idx[:1]
-            traj = self._put_traj(traj.gather_rows(need))
-            cache_idx = np.searchsorted(need, cache_idx).astype(np.int32)
+        # host-resident grid: device-load only the injection scan's rows
+        traj, cache_idx = self._device_rows_for_scan(traj, cache_idx, k_inj)
 
         out = self._put_video(init_latent)
         cache_ff = self._put_replicated(cache_ff)
@@ -427,13 +421,9 @@ class ConsistI2VPipeline(LatentCodecMixin):
                 # constant-flag runs compiled with STATIC flags (see
                 # I2VGenPipeline.sample_with_pnp): the traced-where Q/K
                 # materialization folds away wherever a flag is off
-                runs = []
-                for i in range(k_inj):
-                    pat = (bool(m_conv[i]), bool(m_sp[i]), bool(m_tmp[i]))
-                    if runs and runs[-1][1] == pat:
-                        runs[-1] = (runs[-1][0], pat, i + 1)
-                    else:
-                        runs.append((i, pat, i + 1))
+                from .common import group_constant_runs
+
+                runs = group_constant_runs((m_conv, m_sp, m_tmp), k_inj)
                 for start, pat, stop in runs:
                     step_data = (
                         jnp.asarray(ts_run[start:stop], jnp.int32),

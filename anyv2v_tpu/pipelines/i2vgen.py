@@ -414,14 +414,9 @@ class I2VGenPipeline(LatentCodecMixin):
         if not split_scan:
             k_inj = n_run
 
-        if isinstance(traj, HostTrajectory):
-            # host-resident full grid: bring on device ONLY the rows the
-            # injection scan reads (the batch-2 tail reads none), remapping
-            # the per-step row indices into the gathered subset
-            need = np.unique(cache_idx[:k_inj]) if k_inj > 0 \
-                else cache_idx[:1]
-            traj = self._put_traj(traj.gather_rows(need))
-            cache_idx = np.searchsorted(need, cache_idx).astype(np.int32)
+        # host-resident full grid: device-load only the rows the injection
+        # scan reads (the batch-2 tail reads none), indices remapped
+        traj, cache_idx = self._device_rows_for_scan(traj, cache_idx, k_inj)
 
         x = self._put_video(init_latent)
         if k_inj > 0:
@@ -440,13 +435,9 @@ class I2VGenPipeline(LatentCodecMixin):
                 # and compile each run with STATIC flags: the traced-where
                 # injection formatting (a second Q/K materialization per
                 # attention, every step) folds away wherever a flag is off.
-                runs = []
-                for i in range(k_inj):
-                    pat = (bool(m_conv[i]), bool(m_sp[i]), bool(m_tmp[i]))
-                    if runs and runs[-1][1] == pat:
-                        runs[-1] = (runs[-1][0], pat, i + 1)
-                    else:
-                        runs.append((i, pat, i + 1))
+                from .common import group_constant_runs
+
+                runs = group_constant_runs((m_conv, m_sp, m_tmp), k_inj)
                 for start, pat, stop in runs:
                     step_data = (
                         jnp.asarray(ts_run[start:stop], jnp.int32),

@@ -353,14 +353,8 @@ class SeinePipeline(LatentCodecMixin):
         if not split_scan:
             k_inj = n_run
 
-        from .common import HostTrajectory
-
-        if isinstance(traj, HostTrajectory):
-            # host-resident grid: device-load only the injection scan's rows
-            need = np.unique(cache_idx[:k_inj]) if k_inj > 0 \
-                else cache_idx[:1]
-            traj = self._put_traj(traj.gather_rows(need))
-            cache_idx = np.searchsorted(need, cache_idx).astype(np.int32)
+        # host-resident grid: device-load only the injection scan's rows
+        traj, cache_idx = self._device_rows_for_scan(traj, cache_idx, k_inj)
 
         x = self._put_video(init_latent)
         mask = self._put_video(mask)
@@ -374,14 +368,9 @@ class SeinePipeline(LatentCodecMixin):
                 # constant-flag runs compiled with STATIC flags (see
                 # I2VGenPipeline.sample_with_pnp); pattern order matches the
                 # traced tuple: (conv, spatial, cross, temporal)
-                runs = []
-                for i in range(k_inj):
-                    pat = (bool(m_conv[i]), bool(m_sp[i]), bool(m_x[i]),
-                           bool(m_tmp[i]))
-                    if runs and runs[-1][1] == pat:
-                        runs[-1] = (runs[-1][0], pat, i + 1)
-                    else:
-                        runs.append((i, pat, i + 1))
+                from .common import group_constant_runs
+
+                runs = group_constant_runs((m_conv, m_sp, m_x, m_tmp), k_inj)
                 for start, pat, stop in runs:
                     step_data = (
                         jnp.asarray(ts[start:stop], jnp.int32),

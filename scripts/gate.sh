@@ -3,7 +3,8 @@
 # required before recording a perf number or refreshing a bench artifact.
 #
 #   fast suite      — pytest default selection (< ~10 min, virtual CPU mesh)
-#   slow suite      — -m "" adds the e2e CLI flows and long-scan tests
+#   slow suite      — -m "slow": the e2e CLI flows and long-scan tests the
+#                     fast selection deselects (fast + slow = full suite)
 #   TPU equivalence — ANYV2V_TESTS_TPU=1 compiled-kernel gate on the real chip
 #                     (skipped automatically when no TPU backend is present)
 #   multichip dryrun — __graft_entry__.dryrun_multichip(8) on the virtual mesh

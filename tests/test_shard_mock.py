@@ -19,28 +19,41 @@ from anyv2v_tpu.parallel.mesh import (axis_index, frames_to_pixels,
                                       pixels_to_frames, pmean_axis)
 
 
-def _real_shapes(fn, x, n):
-    """Shape of ``fn(x_local)`` inside a REAL n-device shard_map region."""
-    mesh = make_mesh(n_cfg=1, n_frame=n)
+def _real_local_shape(fn, x, n, in_axis=1, out_axis=1):
+    """LOCAL output shape of ``fn`` inside a REAL n-device shard_map region
+    (global output shape with the sharded out_axis divided by n)."""
+    mesh = make_mesh(n_cfg=1, n_frame=n, devices=jax.devices()[:n])
     from jax.sharding import PartitionSpec as P
 
     def local(x):
         with manual_axis("frame", n):
             return fn(x)
 
-    out = jax.shard_map(local, mesh=mesh, in_specs=P(None, "frame"),
-                        out_specs=P(None, "frame"), check_vma=False)(x)
-    # global -> local shard shape on the frame axis (axis 1)
-    return out.shape
+    in_spec = [None] * x.ndim
+    in_spec[in_axis] = "frame"
+
+    def probe_out_spec(shape_ndim):
+        spec = [None] * shape_ndim
+        spec[out_axis] = "frame"
+        return P(*spec)
+
+    out = jax.shard_map(local, mesh=mesh, in_specs=P(*in_spec),
+                        out_specs=probe_out_spec(x.ndim),
+                        check_vma=False)(x)
+    shape = list(out.shape)
+    shape[out_axis] //= n
+    return tuple(shape)
 
 
 def test_mock_helpers_match_real_collective_shapes():
     """Every mock helper's LOCAL output shape equals the real collective's
-    local output shape (global shape / shard count on the sharded axis)."""
+    local output shape — asserted against an ACTUAL n-device shard_map
+    run of the same helper, not just hardcoded expectations."""
     n = 4
     b, f_loc, p, c = 2, 2, 16, 3
     x = jnp.asarray(np.random.RandomState(0).randn(b, f_loc, p, c),
                     jnp.float32)
+    x_glob = jnp.tile(x, (1, n, 1, 1))  # global input for the real region
     with mock_manual_axis("frame", n):
         a2a = frames_to_pixels(x, "frame", 1, 2)
         assert a2a.shape == (b, f_loc * n, p // n, c)
@@ -54,6 +67,18 @@ def test_mock_helpers_match_real_collective_shapes():
         assert sl.shape == (b, f_loc, p // n, c)
         assert int(axis_index("frame")) == 0
         assert pmean_axis(x, "frame") is x
+
+    # cross-check vs the REAL collectives: an actual shard_map run of the
+    # same helpers must produce the same local shard shapes (the all_to_all
+    # pair keeps a sharded output; the gathers replicate and are covered by
+    # the hardcoded expectations above)
+    assert a2a.shape == _real_local_shape(
+        lambda v: frames_to_pixels(v, "frame", 1, 2), x_glob, n,
+        in_axis=1, out_axis=2)
+    assert back.shape == _real_local_shape(
+        lambda v: pixels_to_frames(frames_to_pixels(v, "frame", 1, 2),
+                                   "frame", 1, 2), x_glob, n,
+        in_axis=1, out_axis=1)
 
 
 def test_mock_roundtrip_is_identity():
