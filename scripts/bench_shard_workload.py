@@ -56,6 +56,8 @@ def main() -> None:
     ap.add_argument("--chips", type=int, default=8)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--hw", type=int, default=512,
+                    help="pixel size (512 = headline; small for CPU smoke)")
     # whole-step wall times from the round-4 FULL run (BENCH_FULL.json:
     # 235.0 s / 500 invert, 59.8 s / 50 edit) — used only for the
     # scheduler-overhead term and the reference ratio.
@@ -67,10 +69,17 @@ def main() -> None:
     ap.add_argument("--ici-edit-ms", type=float, default=11.7)
     args = ap.parse_args()
 
-    from anyv2v_tpu.utils.compile_cache import enable as _enable
-    _enable()
-
     import jax
+
+    # JAX_PLATFORMS=cpu is TOO LATE in this image (sitecustomize registers
+    # the axon TPU backend at interpreter start) — honor an explicit flag so
+    # CPU smoke runs can never become a second TPU client.
+    if os.environ.get("ANYV2V_FORCE_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from anyv2v_tpu.utils.compile_cache import enable as _enable
+        _enable()
+
     import jax.numpy as jnp
 
     from anyv2v_tpu.parallel.mesh import mock_manual_axis
@@ -84,14 +93,14 @@ def main() -> None:
 
     pipe = build_i2vgen_pipeline(
         arch="i2vgen-xl", init="random", dtype=jnp.bfloat16,
-        sample_hw=(512, 512), num_frames=F, param_dtype=jnp.bfloat16,
-        components=("unet",),
+        sample_hw=(args.hw, args.hw), num_frames=F,
+        param_dtype=jnp.bfloat16, components=("unet",),
     )
     _log("pipeline built")
     D = pipe.unet.config.cross_attention_dim
-    h = 64
+    h = args.hw // 8
     rng = np.random.RandomState(0)
-    params = pipe.params
+    params = pipe.params["unet"]
 
     def inputs(b: int, f: int):
         return dict(

@@ -12,7 +12,9 @@ artifact before the next begins:
   4. SEINE b1 step anatomy          -> /tmp/xprof_seine_b1_16 + stdout
 
 Usage:  python scripts/tpu_session.py [phases...]   (default: all)
-Phases: shard backbones trace_c2v trace_seine
+Phases: shard pnp_ab backbones trace_c2v trace_seine
+  (pnp_ab -> PNP_AB.json, the static-segment PnP edit A/B — not in the
+  default set; requested explicitly by follow-up sessions)
 """
 
 from __future__ import annotations
@@ -80,6 +82,25 @@ def run_shard():
         f.write(out)
 
 
+def run_pnp_ab():
+    mod = _load("probe_pnp_static")
+
+    old = sys.stdout
+    buf = io.StringIO()
+    sys.stdout = buf
+    old_argv = sys.argv
+    sys.argv = ["probe_pnp_static.py"]
+    try:
+        mod.main()
+    finally:
+        sys.stdout = old
+        sys.argv = old_argv
+    out = buf.getvalue()
+    print(out, flush=True)
+    with open("PNP_AB.json", "w") as f:
+        f.write(out)
+
+
 def run_backbones():
     bb = _load("bench_backbones")
 
@@ -111,6 +132,8 @@ def main():
     for ph in phases:
         if ph == "shard":
             ok[ph] = _phase(ph, run_shard)
+        elif ph == "pnp_ab":
+            ok[ph] = _phase(ph, run_pnp_ab)
         elif ph == "backbones":
             ok[ph] = _phase(ph, run_backbones)
         elif ph == "trace_c2v":
