@@ -41,7 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.attention import multi_head_attention, temporal_attention
+from ..ops.attention import (multi_head_attention,
+                             spatial_attention_ffconcat, temporal_attention)
 from ..ops.pnp import inject_source_rows
 from ..ops.rotary import (apply_rotary_partial, rotary_angles,
                           rotary_freqs)
@@ -225,21 +226,32 @@ class _SpatialFFBlock(nn.Module):
         b = bf // f
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
 
+        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_q")
+        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_k")
+        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_v")
+        q = to_q(h)
+        k = to_k(h)
+        v = to_v(h)
         if self.condition_on_first_frame:
+            # frame-0 K/V are SHARED by all f frames: project them ONCE per
+            # batch row and let the split-KV attention reuse them, instead
+            # of the reference's repeat+concat (which materializes ~f x the
+            # frame-0 keys, then projects and transposes every copy —
+            # videoldm_transformer_blocks.py:479-504)
             ff = h.reshape(b, f, hw, c)[:, 0]                      # [B, HW, C]
-            ff = jnp.repeat(ff, f, axis=0)                         # [(B F), HW, C]
-            ctx_self = jnp.concatenate([h, ff], axis=1)            # keys: own + 1st-frame
+            k_ctx = to_k(ff)
+            v_ctx = to_v(ff)
+            if inject is not None:
+                q = inject_source_rows(q, inject, self.pnp_chunks)
+                k = inject_source_rows(k, inject, self.pnp_chunks)
+                k_ctx = inject_source_rows(k_ctx, inject, self.pnp_chunks)
+            attn = spatial_attention_ffconcat(
+                q, k, v, k_ctx, v_ctx, frames=f, heads=self.heads)
         else:
-            ctx_self = None
-
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_q")(h)
-        kv_src = h if ctx_self is None else ctx_self
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_k")(kv_src)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="attn1_to_v")(kv_src)
-        if inject is not None:
-            q = inject_source_rows(q, inject, self.pnp_chunks)
-            k = inject_source_rows(k, inject, self.pnp_chunks)
-        attn = multi_head_attention(q, k, v, heads=self.heads)
+            if inject is not None:
+                q = inject_source_rows(q, inject, self.pnp_chunks)
+                k = inject_source_rows(k, inject, self.pnp_chunks)
+            attn = multi_head_attention(q, k, v, heads=self.heads)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(attn)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)

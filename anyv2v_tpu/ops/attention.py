@@ -30,6 +30,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 # Minimum query length for the flash kernel to beat XLA on v5e (measured:
 # parity at 256, 1.1-1.6x at 1024-4096; below 256 tile padding dominates).
@@ -114,12 +115,15 @@ def _resolve(backend: Optional[str], sq: int, sk: int, head_dim: int,
         # (measured: b=48 s=64 h=64 d=24 never finishes compiling).
         return "pallas_short"
     if (bias is None and head_dim < 64 and _window_packable(heads, head_dim)
-            and sq >= 256 and sk <= 8192 and batch * sq >= 16384):
+            and sq >= 256 and sk <= 8192 and batch * sq >= 8192):
         # narrow-head long/cross attention (checkpoint-true i2vgen heads=64,
         # padded dh 8/16/32): the head-packed flash kernel keeps heads folded
         # in the channel dim, packs G = 128/dh heads per MXU lane window, and
         # runs online softmax with lane-replicated per-head state — the
-        # split-head flash kernel wastes >= 75% of MXU lanes and VMEM here
+        # split-head flash kernel wastes >= 75% of MXU lanes and VMEM here.
+        # Row gate 8192 (was 16384): the per-chip shard workload (F_local=2,
+        # batch*sq = 8192 at L0) measures packed 7.08 vs flash 7.74 ms (b=1)
+        # and 18.94 vs 21.18 (b=3) — probe_flash_layout round 5
         return "pallas_packed"
     if bias is None and sq != sk and sk <= 512:
         from .pallas_cross_attention import cross_kv_is_supported
@@ -202,6 +206,55 @@ def multi_head_attention(
     """
     return _mha_impl(query, key, value, heads=heads, bias=bias, mask=mask,
                      scale=scale, backend=backend)
+
+
+def spatial_attention_ffconcat(
+    query: jax.Array,    # [(B*F), Sq, heads*Dh]
+    k_self: jax.Array,   # [(B*F), Sk1, heads*Dh]
+    v_self: jax.Array,   # [(B*F), Sk1, heads*Dh]
+    k_ctx: jax.Array,    # [B, Sk2, heads*Dh] — one context per batch row,
+    v_ctx: jax.Array,    #                      shared by its F frames
+    frames: int,
+    heads: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """ConsistI2V first-frame-concat spatial self-attention
+    (``videoldm_transformer_blocks.py:479-504``): every frame attends over
+    its own tokens plus frame-0's tokens. The reference (and the previous
+    round here) repeats the frame-0 K/V per frame and concats — ~78 MB of
+    repeated keys at L0 that then ride a projection, a transpose and the
+    kernel's DMA once PER FRAME. The split-KV flash kernel
+    (:func:`..ops.pallas_attention.flash_attention_splitkv`) keeps the
+    shared context as its own operand, projected/transposed/DMA'd once per
+    (batch, head); softmax order-invariance makes it numerically the
+    concat attention.
+
+    Off-TPU (CPU mesh, tests) falls back to the materialized concat +
+    ``multi_head_attention`` — same math, asserted against the kernel in
+    the test suite."""
+    bf, sq, d = query.shape
+    dh = d // heads
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and dh % 8 == 0
+        and dh <= 128
+        and sq >= 256
+        and os.environ.get("ANYV2V_ATTN_BACKEND", "auto") == "auto"
+    )
+    if not use_kernel:
+        k = jnp.concatenate(
+            [k_self, jnp.repeat(k_ctx, frames, axis=0)], axis=1)
+        v = jnp.concatenate(
+            [v_self, jnp.repeat(v_ctx, frames, axis=0)], axis=1)
+        return multi_head_attention(query, k, v, heads=heads, scale=scale)
+
+    from .pallas_attention import flash_attention_splitkv
+
+    out = flash_attention_splitkv(
+        _split_heads(query, heads), _split_heads(k_self, heads),
+        _split_heads(v_self, heads), _split_heads(k_ctx, heads),
+        _split_heads(v_ctx, heads), frames=frames, scale=scale)
+    return out.reshape(bf, sq, d)
 
 
 def _mha_impl(

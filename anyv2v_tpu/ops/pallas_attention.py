@@ -128,6 +128,160 @@ def _flash_bhsd(q, k, v, bias, scale, block_q, block_k, kv_valid, interpret):
     )(*args)
 
 
+def _flash_splitkv_kernel(q_ref, ks_ref, vs_ref, kc_ref, vc_ref, o_ref, *,
+                          scale: float, block_k: int, sk1_len: int,
+                          sk1_valid: int, sk2_len: int, sk2_valid: int):
+    """Online softmax over TWO key sources sharing one state: the per-row
+    self keys (ks/vs) then the batch-shared context keys (kc/vc). Softmax
+    is order-invariant, so the result equals attention over
+    concat([self, ctx]) keys — without the concat ever existing."""
+    q = q_ref[0]
+    block_q, d = q.shape
+
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    m = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+
+    def step(k, v, s_mask_from, kb, acc, m, l):
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) * scale
+        if s_mask_from is not None:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), dimension=1)
+            s = jnp.where(col < s_mask_from, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return acc, m_new, l
+
+    for kb in range(sk1_len // block_k):          # static unroll
+        k = ks_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        v = vs_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        mask = sk1_valid if (kb + 1) * block_k > sk1_valid else None
+        acc, m, l = step(k, v, mask, kb, acc, m, l)
+    for kb in range(sk2_len // block_k):
+        k = kc_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        v = vc_ref[0, kb * block_k:(kb + 1) * block_k, :]
+        mask = sk2_valid if (kb + 1) * block_k > sk2_valid else None
+        acc, m, l = step(k, v, mask, kb, acc, m, l)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frames", "heads", "scale", "block_q",
+                              "block_k", "sk1_valid", "sk2_valid",
+                              "interpret")
+)
+def _flash_splitkv(q, ks, vs, kc, vc, frames, heads, scale, block_q,
+                   block_k, sk1_valid, sk2_valid, interpret):
+    """q/ks/vs: [(B*F)*H, S*, D]; kc/vc: [B*H, Sc, D] shared by the F
+    frames of each batch row (seq axes padded). Returns [(B*F)*H, Sq, D].
+
+    Grid (B*H, F, n_q) with n_q fastest: the shared-context K/V block
+    index depends only on the first grid dim, so it is DMA'd once per
+    (batch, head) and reused across all F frames' programs."""
+    bfh, sq, d = q.shape
+    sk1 = ks.shape[1]
+    bh_ctx, sk2 = kc.shape[0], kc.shape[1]
+    grid = (bh_ctx, frames, sq // block_q)
+
+    kernel = functools.partial(
+        _flash_splitkv_kernel, scale=scale, block_k=block_k,
+        sk1_len=sk1, sk1_valid=sk1_valid, sk2_len=sk2,
+        sk2_valid=sk2_valid)
+
+    def qmap(bch, fi, i):
+        # transposed-layout row of (batch bc, frame fi, head hh) where
+        # bch = bc * heads + hh: row = (bc * frames + fi) * heads + hh
+        bc = bch // heads
+        hh = bch % heads
+        return ((bc * frames + fi) * heads + hh, i, 0)
+
+    def smap(bch, fi, i):
+        bc = bch // heads
+        hh = bch % heads
+        return ((bc * frames + fi) * heads + hh, 0, 0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bfh, sq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), qmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk1, d), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk1, d), smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk2, d), lambda bch, fi, i: (bch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk2, d), lambda bch, fi, i: (bch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), qmap,
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bfh * sq * (sk1_valid + sk2_valid) * d,
+            bytes_accessed=(q.size + 2 * ks.size + 2 * kc.size)
+            * q.dtype.itemsize,
+            transcendentals=bfh * sq * (sk1_valid + sk2_valid),
+        ),
+    )(q, ks, vs, kc, vc)
+
+
+def flash_attention_splitkv(
+    q: jax.Array,        # [B*F, Sq, H, D]
+    k_self: jax.Array,   # [B*F, Sk1, H, D]
+    v_self: jax.Array,   # [B*F, Sk1, H, D]
+    k_ctx: jax.Array,    # [B, Sk2, H, D] — shared by each batch row's frames
+    v_ctx: jax.Array,    # [B, Sk2, H, D]
+    frames: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Attention of each frame's queries over its own keys PLUS a
+    batch-shared context block (ConsistI2V first-frame K/V concat,
+    ``videoldm_transformer_blocks.py:479-504``) — numerically equal to
+    flash over ``concat([k_self, k_ctx-per-frame], axis=1)`` but the
+    repeated context keys are never materialized: they are projected,
+    transposed and DMA'd once per (batch, head) instead of once per frame.
+    Returns [B*F, Sq, H, D]."""
+    bf, sq, h, d = q.shape
+    b = bf // frames
+    sk1 = k_self.shape[1]
+    sk2 = k_ctx.shape[1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+
+    sk_tot = sk1 + sk2
+    block_q = min(512 if sk_tot <= 4096 else 256, _ceil_to(sq, 128))
+    block_k = min(512, _ceil_to(min(sk1, sk2), 128))
+    sq_p = _ceil_to(sq, block_q)
+    sk1_p = _ceil_to(sk1, block_k)
+    sk2_p = _ceil_to(sk2, block_k)
+
+    def to_bhsd(x, s_pad):
+        bb = x.shape[0]
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(bb * h, x.shape[1], d)
+        if s_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0)))
+        return x
+
+    interpret = jax.default_backend() != "tpu"
+    out = _flash_splitkv(
+        to_bhsd(q, sq_p), to_bhsd(k_self, sk1_p), to_bhsd(v_self, sk1_p),
+        to_bhsd(k_ctx, sk2_p), to_bhsd(v_ctx, sk2_p), frames, h,
+        float(scale), block_q, block_k, sk1, sk2, interpret)
+    out = out[:, :sq].reshape(bf, h, sq, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def flash_attention_bshd(
     q: jax.Array,   # [B, Sq, H, D]
     k: jax.Array,   # [B, Sk, H, D]
@@ -138,6 +292,16 @@ def flash_attention_bshd(
     """Flash attention with automatic padding/masking to MXU-friendly tiles.
 
     Returns [B, Sq, H, D] in q's dtype.
+
+    Layout note (round 5, negative result): the [B,S,H,D] -> [B,H,S,D]
+    operand transposes below are materialized XLA copies (~1.45 ms per L0
+    VideoLDM attention). Two attempts to eliminate them both hit Mosaic's
+    tiling model: a (1, bq, 1, d) BlockSpec can't slice a singleton head
+    off the second-minor axis (block dims must be %8 or full), and a
+    MANUAL per-head DMA (`make_async_copy` on a lane slice of the HBM ref)
+    fails with "Slice shape along dimension 2 must be aligned to tiling
+    (8)" — the (8,128) tile pair covers (H, D), so a one-head slice is not
+    expressible either way. The copies run at ~345 GB/s and stay.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
@@ -152,6 +316,7 @@ def flash_attention_bshd(
     block_k = min(512, _ceil_to(sk, 128))
     sq_p = _ceil_to(sq, block_q)
     sk_p = _ceil_to(sk, block_k)
+    interpret = jax.default_backend() != "tpu"
 
     def to_bhsd(x, s_pad):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
@@ -177,7 +342,6 @@ def flash_attention_bshd(
     else:
         bias_arg = None   # padding handled in-kernel from kv_valid
 
-    interpret = jax.default_backend() != "tpu"
     out = _flash_bhsd(qf, kf, vf, bias_arg, float(scale), block_q, block_k,
                       sk, interpret)
     out = out[:, :sq].reshape(b, h, sq, d)

@@ -101,6 +101,139 @@ def run_pnp_ab():
         f.write(out)
 
 
+def run_flash_ab():
+    mod = _load("probe_flash_layout")
+
+    old = sys.stdout
+    buf = io.StringIO()
+    sys.stdout = buf
+    old_argv = sys.argv
+    sys.argv = ["probe_flash_layout.py"]
+    try:
+        mod.main()
+    finally:
+        sys.stdout = old
+        sys.argv = old_argv
+    out = buf.getvalue()
+    print(out, flush=True)
+    with open("FLASH_AB.json", "w") as f:
+        f.write(out)
+
+
+def run_hlo_dump():
+    """Compiled-HLO text of the three UNet forwards (b=1, 16f 512^2) for
+    offline layout/copy analysis — compile only, nothing executes."""
+    import jax
+    import jax.numpy as jnp
+
+    rngs = __import__("numpy").random.RandomState(0)
+
+    def dump(name, fn, *xs):
+        txt = jax.jit(fn).lower(*xs).compile().as_text()
+        path = f"/tmp/hlo_{name}.txt"
+        with open(path, "w") as f:
+            f.write(txt)
+        _log(f"wrote {path} ({len(txt) / 1e6:.1f} MB)")
+
+    from anyv2v_tpu.utils.model_zoo import (build_consisti2v_pipeline,
+                                            build_i2vgen_pipeline,
+                                            build_seine_pipeline)
+
+    p = build_consisti2v_pipeline(arch="consisti2v", init="random",
+                                  dtype=jnp.bfloat16)
+    D = p.unet.config.cross_attention_dim
+    dump("consisti2v",
+         lambda pr, s, eh, ff: p.unet.apply(
+             pr, sample=s, timestep=jnp.int32(981), encoder_hidden_states=eh,
+             first_frame_latents=ff, frame_stride=jnp.int32(3)),
+         p.params["unet"],
+         jnp.asarray(rngs.randn(1, 15, 64, 64, 4), jnp.float32),
+         jnp.asarray(rngs.randn(1, 77, D) * 0.02, jnp.float32),
+         jnp.asarray(rngs.randn(1, 1, 64, 64, 4), jnp.float32))
+    del p
+
+    p = build_seine_pipeline(arch="seine", init="random", dtype=jnp.bfloat16)
+    D = p.unet.config.cross_attention_dim
+    dump("seine",
+         lambda pr, s, eh: p.unet.apply(
+             pr, sample=s, timestep=jnp.int32(981),
+             encoder_hidden_states=eh),
+         p.params["unet"],
+         jnp.asarray(rngs.randn(1, 16, 64, 64, 9), jnp.float32),
+         jnp.asarray(rngs.randn(1, 120, D) * 0.02, jnp.float32))
+    del p
+
+    p = build_i2vgen_pipeline(arch="i2vgen-xl", init="random",
+                              dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                              components=("unet",))
+    D = p.unet.config.cross_attention_dim
+    dump("i2vgen",
+         lambda pr, s, eh, il, ie: p.unet.apply(
+             pr, sample=s, timestep=jnp.int32(981), encoder_hidden_states=eh,
+             fps=jnp.int32(8), image_latents=il, image_embeddings=ie),
+         p.params["unet"],
+         jnp.asarray(rngs.randn(1, 16, 64, 64, 4), jnp.float32),
+         jnp.asarray(rngs.randn(1, 77, D) * 0.02, jnp.float32),
+         jnp.asarray(rngs.randn(1, 16, 64, 64, 4), jnp.float32),
+         jnp.asarray(rngs.randn(1, 1, D) * 0.02, jnp.float32))
+
+
+def run_shard_trace():
+    """XProf the per-chip shard workload forward (F_local=2, b=1 and b=3,
+    mock collectives) — names the per-op terms behind the measured 1.58x
+    invert / 1.15x edit small-grid penalty (SHARD_BENCH.json)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anyv2v_tpu.parallel.mesh import mock_manual_axis
+    from anyv2v_tpu.utils.model_zoo import build_i2vgen_pipeline
+
+    n, F = 8, 16
+    f_loc = F // n
+    pipe = build_i2vgen_pipeline(
+        arch="i2vgen-xl", init="random", dtype=jnp.bfloat16,
+        sample_hw=(512, 512), num_frames=F, param_dtype=jnp.bfloat16,
+        components=("unet",))
+    _log("shard-trace pipeline built")
+    D = pipe.unet.config.cross_attention_dim
+    rng = np.random.RandomState(0)
+    params = pipe.params["unet"]
+
+    for b in (1, 3):
+        kw = dict(
+            sample=jnp.asarray(
+                rng.randn(b, f_loc, 64, 64, 4).astype(np.float32) * 0.2),
+            timestep=jnp.asarray(500, jnp.int32),
+            encoder_hidden_states=jnp.asarray(
+                rng.randn(b, 77, D).astype(np.float32) * 0.02),
+            fps=jnp.asarray(8, jnp.int32),
+            image_latents=jnp.asarray(
+                rng.randn(b, F, 64, 64, 4).astype(np.float32) * 0.2),
+            image_embeddings=jnp.asarray(
+                rng.randn(b, 1, D).astype(np.float32) * 0.02),
+        )
+
+        @jax.jit
+        def fwd(p, a):
+            with mock_manual_axis("frame", n):
+                return pipe.unet.apply(p, **a)
+
+        trace_dir = f"/tmp/xprof_shard_b{b}_f{f_loc}"
+        if glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                     recursive=True):
+            _log(f"{trace_dir} exists, skipping")
+            continue
+        jax.block_until_ready(fwd(params, kw))
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = fwd(params, kw)
+            jax.block_until_ready(out)
+        _log(f"wrote {trace_dir}")
+
+
 def run_backbones():
     bb = _load("bench_backbones")
 
@@ -134,6 +267,12 @@ def main():
             ok[ph] = _phase(ph, run_shard)
         elif ph == "pnp_ab":
             ok[ph] = _phase(ph, run_pnp_ab)
+        elif ph == "flash_ab":
+            ok[ph] = _phase(ph, run_flash_ab)
+        elif ph == "hlo":
+            ok[ph] = _phase(ph, run_hlo_dump)
+        elif ph == "shard_trace":
+            ok[ph] = _phase(ph, run_shard_trace)
         elif ph == "backbones":
             ok[ph] = _phase(ph, run_backbones)
         elif ph == "trace_c2v":

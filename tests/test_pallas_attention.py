@@ -83,3 +83,29 @@ def test_pallas_backend_through_model_layer(monkeypatch):
     got = st.apply(params, x, context=ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_splitkv_matches_concat_reference():
+    """The split-KV kernel (ConsistI2V first-frame concat, interpret mode)
+    must equal flash over the materialized concat([self, ctx]) keys —
+    including padded tails on both key sources and frames > 1 sharing one
+    context block per batch row."""
+    from anyv2v_tpu.ops.pallas_attention import (flash_attention_bshd,
+                                                 flash_attention_splitkv)
+
+    rng = np.random.RandomState(7)
+    b, f, heads, dh = 2, 3, 2, 8
+    sq, sk1, sk2 = 256, 256, 200     # sk2 exercises the ctx pad mask
+    q = jnp.asarray(rng.randn(b * f, sq, heads, dh).astype(np.float32))
+    ks = jnp.asarray(rng.randn(b * f, sk1, heads, dh).astype(np.float32))
+    vs = jnp.asarray(rng.randn(b * f, sk1, heads, dh).astype(np.float32))
+    kc = jnp.asarray(rng.randn(b, sk2, heads, dh).astype(np.float32))
+    vc = jnp.asarray(rng.randn(b, sk2, heads, dh).astype(np.float32))
+
+    got = flash_attention_splitkv(q, ks, vs, kc, vc, frames=f)
+
+    k_cat = jnp.concatenate([ks, jnp.repeat(kc, f, axis=0)], axis=1)
+    v_cat = jnp.concatenate([vs, jnp.repeat(vc, f, axis=0)], axis=1)
+    want = flash_attention_bshd(q, k_cat, v_cat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
