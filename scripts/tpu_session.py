@@ -178,6 +178,22 @@ def run_hlo_dump():
          jnp.asarray(rngs.randn(1, 1, D) * 0.02, jnp.float32))
 
 
+def run_tpu_gate():
+    """The compiled-kernel equivalence gate on the real chip
+    (ANYV2V_TESTS_TPU=1 pytest tests/test_tpu_equivalence.py) — required
+    after any kernel/routing change before refreshing bench artifacts
+    (gate.sh runs it too, but on-chip work must ride THIS process)."""
+    import pytest
+
+    os.environ["ANYV2V_TESTS_TPU"] = "1"
+    try:
+        rc = pytest.main(["-q", "-m", "", "tests/test_tpu_equivalence.py"])
+    finally:
+        os.environ.pop("ANYV2V_TESTS_TPU", None)
+    if rc != 0:
+        raise RuntimeError(f"TPU equivalence gate failed: pytest rc={rc}")
+
+
 def run_shard_trace():
     """XProf the per-chip shard workload forward (F_local=2, b=1 and b=3,
     mock collectives) — names the per-op terms behind the measured 1.58x
@@ -273,6 +289,18 @@ def main():
             ok[ph] = _phase(ph, run_hlo_dump)
         elif ph == "shard_trace":
             ok[ph] = _phase(ph, run_shard_trace)
+        elif ph == "tpu_gate":
+            ok[ph] = _phase(ph, run_tpu_gate)
+        elif ph == "flash_blocks":
+            def _blocks():
+                mod = _load("probe_flash_blocks")
+                old_argv = sys.argv
+                sys.argv = ["probe_flash_blocks.py"]
+                try:
+                    mod.main()
+                finally:
+                    sys.argv = old_argv
+            ok[ph] = _phase(ph, _blocks)
         elif ph == "backbones":
             ok[ph] = _phase(ph, run_backbones)
         elif ph == "trace_c2v":
