@@ -64,11 +64,13 @@ def main() -> None:
     profile_dir = os.environ.get("BENCH_PROFILE")
 
     full = os.environ.get("BENCH_FULL", "0") == "1"
-    # BENCH_FRAMES=128 measures the long-video path (reference README:182);
-    # the full 500-point fp32 trajectory would not fit one chip's HBM at 128
-    # frames (16.8 GB) — long-video full grids need the frame-sharded mesh or
-    # a bf16/host-offloaded cache, so 128-frame runs stay projected.
+    # BENCH_FRAMES=128 measures the long-video path (reference README:182).
+    # The full 500-point fp32 trajectory would not fit one chip's HBM at 128
+    # frames (16.8 GB), so long-video runs keep the grid in HOST memory
+    # (traj_store="host", round 5) — the invert scan offloads each segment
+    # as it completes and the edit gathers back only its <=50 rows.
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    traj_store = "host" if n_frames >= 64 else "device"
     hw = (512, 512)
     arch = os.environ.get("BENCH_ARCH", "i2vgen-xl")
 
@@ -113,13 +115,15 @@ def main() -> None:
     # warm compile
     _log("compiling inversion scan")
     traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
-                               num_inversion_steps=n_inv_measure)
+                               num_inversion_steps=n_inv_measure,
+                               traj_store=traj_store)
     _sync(traj)
     _log("inversion scan compiled")
     t0 = time.perf_counter()
     with trace_if(profile_dir):
         traj, inv_ts = pipe.invert(latents, text, img_lat, img_emb,
-                                   num_inversion_steps=n_inv_measure)
+                                   num_inversion_steps=n_inv_measure,
+                                   traj_store=traj_store)
         _sync(traj)
     from anyv2v_tpu.utils.benchguard import check_scan_time
 

@@ -178,6 +178,36 @@ def run_hlo_dump():
          jnp.asarray(rngs.randn(1, 1, D) * 0.02, jnp.float32))
 
 
+def run_bench128():
+    """128-frame long-video headline on ONE chip (reference README:182
+    claims 128f on a 48 GB A6000): bench.py protocol at BENCH_FRAMES=128
+    with the round-5 host trajectory store — the first MEASURED long-video
+    number (prior rounds could only project: the 16.8 GB full grid did not
+    fit HBM). Writes BENCH_128F.json."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    os.environ["BENCH_FRAMES"] = "128"
+    os.environ["BENCH_VERBOSE"] = "1"
+    old = sys.stdout
+    buf = io.StringIO()
+    sys.stdout = buf
+    try:
+        bench.main()
+    finally:
+        sys.stdout = old
+        os.environ.pop("BENCH_FRAMES", None)
+    out = buf.getvalue()
+    print(out, flush=True)
+    with open("BENCH_128F.json", "w") as f:
+        f.write(out)
+
+
 def run_tpu_gate():
     """The compiled-kernel equivalence gate on the real chip
     (ANYV2V_TESTS_TPU=1 pytest tests/test_tpu_equivalence.py) — required
@@ -291,6 +321,8 @@ def main():
             ok[ph] = _phase(ph, run_shard_trace)
         elif ph == "tpu_gate":
             ok[ph] = _phase(ph, run_tpu_gate)
+        elif ph == "bench128":
+            ok[ph] = _phase(ph, run_bench128)
         elif ph == "flash_blocks":
             def _blocks():
                 mod = _load("probe_flash_blocks")
