@@ -311,9 +311,16 @@ def flash_attention_bshd(
     # block_q halves for long K/V: the unrolled k loop keeps ~n_kb live
     # [block_q, block_k] fp32 score buffers on the VMEM stack, and sk=8192
     # (ConsistI2V first-frame-concat spatial K/V, videoldm_transformer_blocks
-    # .py:479-489) overflows the 16 MB limit at block_q 512 (measured 17.4M)
-    block_q = min(512 if sk <= 4096 else 256, _ceil_to(sq, 128))
-    block_k = min(512, _ceil_to(sk, 128))
+    # .py:479-489) overflows the 16 MB limit at block_q 512 (measured 17.4M).
+    # Short K/V (<= 1024: one k block) runs best at 1024/1024 — the L1 self
+    # class measures 1.47 vs 1.71 ms at 512/512 (probe_flash_blocks round 5);
+    # L0 classes measured best at the defaults (8.20 / 13.94 ms).
+    if sk <= 1024:
+        block_q = min(1024, _ceil_to(sq, 128))
+        block_k = min(1024, _ceil_to(sk, 128))
+    else:
+        block_q = min(512 if sk <= 4096 else 256, _ceil_to(sq, 128))
+        block_k = min(512, _ceil_to(sk, 128))
     sq_p = _ceil_to(sq, block_q)
     sk_p = _ceil_to(sk, block_k)
     interpret = jax.default_backend() != "tpu"
