@@ -64,11 +64,13 @@ def main() -> None:
     profile_dir = os.environ.get("BENCH_PROFILE")
 
     full = os.environ.get("BENCH_FULL", "0") == "1"
-    # BENCH_FRAMES=128 measures the long-video path (reference README:182).
-    # The full 500-point fp32 trajectory would not fit one chip's HBM at 128
-    # frames (16.8 GB), so long-video runs keep the grid in HOST memory
-    # (traj_store="host", round 5) — the invert scan offloads each segment
-    # as it completes and the edit gathers back only its <=50 rows.
+    # BENCH_FRAMES=128 targets the long-video path (reference README:182).
+    # The host trajectory store (round 5) removes the 16.8 GB full-grid
+    # term, but a REAL 128f run still crashes the single v5e chip: the
+    # UNet's 128-frame activations (~8x the 16f forward) plus 2.8 GB bf16
+    # params exceed 16 GB HBM (measured — PERF.md round 5). 128f is mesh
+    # territory (sharded 128f asserted on the virtual 8-mesh); the host
+    # store wiring below serves frame counts that do fit.
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     traj_store = "host" if n_frames >= 64 else "device"
     hw = (512, 512)
