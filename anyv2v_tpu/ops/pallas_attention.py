@@ -254,6 +254,10 @@ def flash_attention_splitkv(
     Returns [B*F, Sq, H, D]."""
     bf, sq, h, d = q.shape
     b = bf // frames
+    if b * frames != bf or k_ctx.shape[0] != b:
+        raise ValueError(
+            f"splitkv batch mismatch: q rows {bf} != frames {frames} x "
+            f"ctx rows {k_ctx.shape[0]}")
     sk1 = k_self.shape[1]
     sk2 = k_ctx.shape[1]
     if scale is None:

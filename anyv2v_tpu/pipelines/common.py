@@ -82,8 +82,11 @@ class HostTrajectory:
 
     def __getitem__(self, i):
         if isinstance(i, (int, np.integer)):
-            i = int(i) % len(self)
-            return jnp.asarray(self._rows(np.array([i]))[0])
+            n = len(self)
+            i = int(i)
+            if not -n <= i < n:   # wrap negatives only — out-of-range raises
+                raise IndexError(f"row {i} out of range for {n}-row store")
+            return jnp.asarray(self._rows(np.array([i % n]))[0])
         raise TypeError("HostTrajectory supports integer row indexing and "
                         "gather_rows; use np.asarray() for the full grid")
 

@@ -161,9 +161,9 @@ def main() -> None:
         "total_s": 500 * step_inv + 50 * step_edit + 1.0,
     }
     out = {
-        "metric": f"v5e-{n} per-chip shard workload, {F}f 512^2 i2vgen-xl "
-                  f"(F_local={f_loc}), measured on 1 real chip via "
-                  "mock_manual_axis",
+        "metric": f"v5e-{n} per-chip shard workload, {F}f {args.hw}^2 "
+                  f"i2vgen-xl (F_local={f_loc}), measured on 1 real chip "
+                  "via mock_manual_axis",
         "forward_ms": {k: round(v * 1e3, 1) for k, v in res.items()},
         "scaling": {
             "invert_shard_over_full": round(

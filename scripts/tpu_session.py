@@ -11,10 +11,20 @@ artifact before the next begins:
   3. ConsistI2V b1 step anatomy     -> /tmp/xprof_consisti2v_b1_16 + stdout
   4. SEINE b1 step anatomy          -> /tmp/xprof_seine_b1_16 + stdout
 
-Usage:  python scripts/tpu_session.py [phases...]   (default: all)
-Phases: shard pnp_ab backbones trace_c2v trace_seine
-  (pnp_ab -> PNP_AB.json, the static-segment PnP edit A/B — not in the
-  default set; requested explicitly by follow-up sessions)
+Usage:  python scripts/tpu_session.py [phases...]
+        (default: shard backbones trace_c2v trace_seine)
+Phases (artifact):
+  shard        -> SHARD_BENCH.json     per-chip shard workload bench
+  backbones    -> BENCH_BACKBONES.json ConsistI2V + SEINE re-record
+  trace_c2v    -> /tmp/xprof_consisti2v_b1_16  step anatomy
+  trace_seine  -> /tmp/xprof_seine_b1_16       step anatomy
+  pnp_ab       -> PNP_AB.json          static vs traced PnP edit A/B
+  flash_ab     -> FLASH_AB.json        splitkv + routing probes
+  flash_blocks -> stdout               flash block-size sweep
+  shard_trace  -> /tmp/xprof_shard_b{1,3}_f2   F_local=2 anatomy
+  hlo          -> /tmp/hlo_{backbone}.txt      compiled-HLO dumps
+  tpu_gate     -> (pytest)             on-chip kernel equivalence gate
+  bench128     -> BENCH_128F.json      128f long-video bench attempt
 """
 
 from __future__ import annotations
@@ -62,62 +72,37 @@ def _phase(name, fn):
         gc.collect()
 
 
-def run_shard():
-    sbw = _load("bench_shard_workload")
-
-    # capture the script's stdout JSON into SHARD_BENCH.json
-    old = sys.stdout
+def _capture_json(script_name, out_path, argv=()):
+    """Run a sibling script's main() with stdout captured; ALWAYS write
+    whatever was printed to ``out_path`` (even on failure — partial output
+    is the crash diagnostic), then re-raise."""
+    mod = _load(script_name)
+    old_stdout, old_argv = sys.stdout, sys.argv
     buf = io.StringIO()
     sys.stdout = buf
-    old_argv = sys.argv
-    sys.argv = ["bench_shard_workload.py"]
+    sys.argv = [script_name + ".py", *argv]
     try:
-        sbw.main()
+        mod.main()
     finally:
-        sys.stdout = old
+        sys.stdout = old_stdout
         sys.argv = old_argv
-    out = buf.getvalue()
-    print(out, flush=True)
-    with open("SHARD_BENCH.json", "w") as f:
-        f.write(out)
+        out = buf.getvalue()
+        print(out, flush=True)
+        if out.strip():
+            with open(out_path, "w") as f:
+                f.write(out)
+
+
+def run_shard():
+    _capture_json("bench_shard_workload", "SHARD_BENCH.json")
 
 
 def run_pnp_ab():
-    mod = _load("probe_pnp_static")
-
-    old = sys.stdout
-    buf = io.StringIO()
-    sys.stdout = buf
-    old_argv = sys.argv
-    sys.argv = ["probe_pnp_static.py"]
-    try:
-        mod.main()
-    finally:
-        sys.stdout = old
-        sys.argv = old_argv
-    out = buf.getvalue()
-    print(out, flush=True)
-    with open("PNP_AB.json", "w") as f:
-        f.write(out)
+    _capture_json("probe_pnp_static", "PNP_AB.json")
 
 
 def run_flash_ab():
-    mod = _load("probe_flash_layout")
-
-    old = sys.stdout
-    buf = io.StringIO()
-    sys.stdout = buf
-    old_argv = sys.argv
-    sys.argv = ["probe_flash_layout.py"]
-    try:
-        mod.main()
-    finally:
-        sys.stdout = old
-        sys.argv = old_argv
-    out = buf.getvalue()
-    print(out, flush=True)
-    with open("FLASH_AB.json", "w") as f:
-        f.write(out)
+    _capture_json("probe_flash_layout", "FLASH_AB.json")
 
 
 def run_hlo_dump():
@@ -194,18 +179,20 @@ def run_bench128():
 
     os.environ["BENCH_FRAMES"] = "128"
     os.environ["BENCH_VERBOSE"] = "1"
-    old = sys.stdout
+    old_stdout = sys.stdout
     buf = io.StringIO()
     sys.stdout = buf
     try:
         bench.main()
     finally:
-        sys.stdout = old
+        sys.stdout = old_stdout
         os.environ.pop("BENCH_FRAMES", None)
-    out = buf.getvalue()
-    print(out, flush=True)
-    with open("BENCH_128F.json", "w") as f:
-        f.write(out)
+        os.environ.pop("BENCH_VERBOSE", None)
+        out = buf.getvalue()
+        print(out, flush=True)
+        if out.strip():
+            with open("BENCH_128F.json", "w") as f:
+                f.write(out)
 
 
 def run_tpu_gate():
