@@ -226,3 +226,37 @@ def test_apply_rotary_partial_matches_at_set():
         got = apply_rotary_partial(x, a, rot)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
+
+
+def test_attention_backend_routing_pins_measured_decisions(monkeypatch):
+    """The dispatcher's shape->kernel map encodes on-chip A/B results
+    (PERF.md); pin the decisions for the documented classes so a routine
+    edit can't silently re-route a hot path. Backend check is patched to
+    'tpu' — _resolve is pure shape logic."""
+    from anyv2v_tpu.ops import attention as att
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("ANYV2V_ATTN_BACKEND", raising=False)
+
+    def r(sq, sk, dh, batch, heads):
+        return att._resolve("auto", sq, sk, dh, None, None, batch=batch,
+                            heads=heads)
+
+    # i2vgen checkpoint-true L0 self (padded dh=8, heads=64)
+    assert r(4096, 4096, 8, 16, 64) == "pallas_packed"   # full F=16
+    # round-5 gate fix: the F_local=2 per-chip shard shape stays packed
+    # (probe_flash_layout: packed 7.08 vs flash 7.74 ms at batch*sq=8192)
+    assert r(4096, 4096, 8, 2, 64) == "pallas_packed"
+    # below the widened gate the generic flash still wins
+    assert r(1024, 1024, 16, 2, 64) == "pallas"
+    # VideoLDM/SEINE spatial self (dh=40 not window-packable) -> flash
+    assert r(4096, 8192, 40, 15, 8) == "pallas"
+    # temporal attention over frames -> packed short kernel
+    assert r(16, 16, 40, 4096, 8) == "pallas_short"
+    # checkpoint-true text cross-attention (sk=157, packable heads) rides
+    # the packed family — its internal variant dispatch picks wide_t there
+    assert r(4096, 157, 8, 48, 64) == "pallas_packed"
+    # non-packable narrow heads on short K/V -> the whole-K/V cross kernel
+    from anyv2v_tpu.ops.pallas_cross_attention import cross_kv_is_supported
+    if cross_kv_is_supported(4096, 157, 40):
+        assert r(4096, 157, 40, 16, 8) == "pallas_cross"
