@@ -138,6 +138,7 @@ def main() -> None:
         ("invert_shard", 1, True, f_loc),
         ("invert_full", 1, False, F),
         ("edit_shard", 3, True, f_loc),
+        ("edit_tail_shard", 2, True, f_loc),
         ("edit_full", 3, False, F),
     ):
         fn = make_fwd(mock)
@@ -147,18 +148,25 @@ def main() -> None:
         res[label] = dt
         _log(f"{label}: {dt * 1e3:.1f} ms/forward")
 
-    # re-derived projection (seconds)
+    # re-derived projection (seconds). Edit: the static-segment PnP scan
+    # runs the first half of the 50 steps at batch 3 (source row live) and
+    # the post-injection tail at batch 2 (default temporal threshold 0.5 —
+    # pipelines/i2vgen.py split_scan), so the leg prices 25 + 25 steps.
     ov_inv = max(args.full_step_invert - res["invert_full"], 0.0)
     ov_edit = max(args.full_step_edit - res["edit_full"], 0.0)
     step_inv = res["invert_shard"] + args.ici_invert_ms / 1e3 + ov_inv
     step_edit = res["edit_shard"] + args.ici_edit_ms / 1e3 + ov_edit
+    step_tail = (res["edit_tail_shard"] + args.ici_edit_ms * 2 / 3 / 1e3
+                 + ov_edit)
+    edit_leg = 25 * step_edit + 25 * step_tail
     proj = {
         "invert_step_s": step_inv,
         "edit_step_s": step_edit,
+        "edit_tail_step_s": step_tail,
         "invert_500_s": 500 * step_inv,
-        "edit_50_s": 50 * step_edit,
+        "edit_50_s": edit_leg,
         "vae_host_s": 1.0,
-        "total_s": 500 * step_inv + 50 * step_edit + 1.0,
+        "total_s": 500 * step_inv + edit_leg + 1.0,
     }
     out = {
         "metric": f"v5e-{n} per-chip shard workload, {F}f {args.hw}^2 "
