@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import gc
 import io
-import json
 import os
 import sys
 import time
