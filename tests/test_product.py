@@ -224,3 +224,67 @@ def test_demo_walkthrough_executes(tmp_path, monkeypatch):
     for root, _, files in os.walk(tmp_path / "demo_out"):
         outs += [f for f in files if f.endswith(".mp4")]
     assert "source.mp4" in outs and len(outs) >= 2  # source + edited result
+
+
+@pytest.mark.slow
+def test_web_demo_e2e(tmp_path):
+    """The dependency-free web demo (product/web_demo.py — the gradio
+    surface without gradio): serve, submit the form, get the edited video
+    back through the file endpoint. Same tiny-arch wiring as the headless
+    flow test."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from anyv2v_tpu.product import web_demo
+
+    video = tmp_path / "v.mp4"
+    _make_video(video, n=4, h=64, w=64)
+
+    started = threading.Event()
+    t = threading.Thread(
+        target=web_demo.serve,
+        kwargs=dict(variant="instructpix2pix", port=0, tiny=True,
+                    started=started),
+        daemon=True)
+    t.start()
+    assert started.wait(10)
+    # serve(port=0) binds an ephemeral port; read it back via the app hook
+    import time
+
+    for _ in range(100):
+        if getattr(web_demo, "_LAST_SERVER", None) is not None:
+            break
+        time.sleep(0.1)
+    httpd = web_demo._LAST_SERVER
+    base = f"http://127.0.0.1:{httpd.server_port}"
+
+    with urllib.request.urlopen(base + "/health", timeout=10) as r:
+        assert b'"ok": true' in r.read()
+    with urllib.request.urlopen(base + "/", timeout=10) as r:
+        page = r.read().decode()
+    assert "Run AnyV2V" in page and "Temporal injection" in page
+
+    form = urllib.parse.urlencode({
+        "video_path": str(video), "prompt": "a snowy scene",
+        "instruct_prompt": "make it snowy",
+        "ddim_inversion_steps": 10, "num_inference_steps": 5,
+    }).encode()
+    req = urllib.request.Request(base + "/run", data=form, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        result = r.read().decode()
+    assert "Done" in result, result[:2000]
+    out = httpd.app.last["edited_video"]
+    assert os.path.exists(out) and out.endswith("edited_video.mp4")
+
+    # registered outputs are served; unregistered paths are not
+    with urllib.request.urlopen(
+            base + "/file?path=" + urllib.parse.quote(out), timeout=10) as r:
+        assert r.headers["Content-Type"] == "video/mp4"
+        assert len(r.read()) > 0
+    try:
+        urllib.request.urlopen(base + "/file?path=/etc/hosts", timeout=10)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = e.code == 404
+    assert raised
