@@ -13,6 +13,10 @@ import argparse
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--headless", action="store_true")
+    parser.add_argument("--web", action="store_true",
+                        help="stdlib http.server UI (no gradio needed)")
+    parser.add_argument("--tiny", action="store_true",
+                        help="random tiny-shape pipelines (with --web)")
     parser.add_argument("--video_path", type=str, default=None)
     parser.add_argument("--prompt", type=str, default="")
     parser.add_argument("--instruct_prompt", type=str, default="")
@@ -39,6 +43,12 @@ def main(argv=None) -> None:
             ddim_inversion_steps=args.ddim_inversion_steps,
         )
         print(out)
+        return
+    if args.web:
+        from ..product import web_demo
+
+        web_demo.serve("style", port=args.server_port,
+                       tiny=args.tiny)
         return
     gradio_app.build_demo("style", runner_kwargs=dict(arch=args.arch, init=args.init)
                           ).launch(server_port=args.server_port)
