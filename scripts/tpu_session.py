@@ -24,6 +24,7 @@ Phases (artifact):
   shard_trace  -> /tmp/xprof_shard_b{1,3}_f2   F_local=2 anatomy
   hlo          -> /tmp/hlo_{backbone}.txt      compiled-HLO dumps
   tpu_gate     -> (pytest)             on-chip kernel equivalence gate
+  shard_bb     -> SHARD_BACKBONES.json ConsistI2V/SEINE per-chip shards
   bench128     -> BENCH_128F.json      128f long-video bench attempt
 """
 
@@ -102,6 +103,10 @@ def run_pnp_ab():
 
 def run_flash_ab():
     _capture_json("probe_flash_layout", "FLASH_AB.json")
+
+
+def run_shard_bb():
+    _capture_json("bench_shard_backbones", "SHARD_BACKBONES.json")
 
 
 def run_hlo_dump():
@@ -301,6 +306,8 @@ def main():
             ok[ph] = _phase(ph, run_pnp_ab)
         elif ph == "flash_ab":
             ok[ph] = _phase(ph, run_flash_ab)
+        elif ph == "shard_bb":
+            ok[ph] = _phase(ph, run_shard_bb)
         elif ph == "hlo":
             ok[ph] = _phase(ph, run_hlo_dump)
         elif ph == "shard_trace":
