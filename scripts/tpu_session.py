@@ -199,6 +199,56 @@ def run_bench128():
                 f.write(out)
 
 
+def run_c2v_shard_trace():
+    """XProf the ConsistI2V per-chip shard forward (F_local=2 + replicated
+    conditioning frame, mock collectives) — names the per-op terms behind
+    the 1.63x invert scaling penalty (SHARD_BACKBONES.json)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anyv2v_tpu.parallel.mesh import mock_manual_axis
+    from anyv2v_tpu.utils.model_zoo import build_consisti2v_pipeline
+
+    n, F = 8, 16
+    f_loc = F // n
+    pipe = build_consisti2v_pipeline(arch="consisti2v", init="random",
+                                     dtype=jnp.bfloat16)
+    _log("c2v shard-trace pipeline built")
+    D = pipe.unet.config.cross_attention_dim
+    rng = np.random.RandomState(0)
+    params = pipe.params["unet"]
+
+    for b in (1,):
+        sample = jnp.asarray(
+            rng.randn(b, f_loc, 64, 64, 4).astype(np.float32) * 0.2)
+        text = jnp.asarray(rng.randn(b, 77, D).astype(np.float32) * 0.02)
+        ffl = jnp.asarray(
+            rng.randn(b, 1, 64, 64, 4).astype(np.float32) * 0.2)
+
+        @jax.jit
+        def fwd(p, sample, text, ffl):
+            with mock_manual_axis("frame", n):
+                return pipe.unet.apply(
+                    p, sample=sample, timestep=jnp.int32(500),
+                    encoder_hidden_states=text, first_frame_latents=ffl,
+                    frame_stride=jnp.int32(3))
+
+        trace_dir = f"/tmp/xprof_c2v_shard_b{b}_f{f_loc}"
+        if glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                     recursive=True):
+            _log(f"{trace_dir} exists, skipping")
+            continue
+        jax.block_until_ready(fwd(params, sample, text, ffl))
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = fwd(params, sample, text, ffl)
+            jax.block_until_ready(out)
+        _log(f"wrote {trace_dir}")
+
+
 def run_tpu_gate():
     """The compiled-kernel equivalence gate on the real chip
     (ANYV2V_TESTS_TPU=1 pytest tests/test_tpu_equivalence.py) — required
@@ -308,6 +358,8 @@ def main():
             ok[ph] = _phase(ph, run_flash_ab)
         elif ph == "shard_bb":
             ok[ph] = _phase(ph, run_shard_bb)
+        elif ph == "c2v_shard_trace":
+            ok[ph] = _phase(ph, run_c2v_shard_trace)
         elif ph == "hlo":
             ok[ph] = _phase(ph, run_hlo_dump)
         elif ph == "shard_trace":
