@@ -232,6 +232,9 @@ class _SpatialFFBlock(nn.Module):
         q = to_q(h)
         k = to_k(h)
         v = to_v(h)
+        if inject is not None:          # PnP: Q/K substituted, V untouched
+            q = inject_source_rows(q, inject, self.pnp_chunks)
+            k = inject_source_rows(k, inject, self.pnp_chunks)
         if self.condition_on_first_frame:
             # frame-0 K/V are SHARED by all f frames: project them ONCE per
             # batch row and let the split-KV attention reuse them, instead
@@ -242,15 +245,10 @@ class _SpatialFFBlock(nn.Module):
             k_ctx = to_k(ff)
             v_ctx = to_v(ff)
             if inject is not None:
-                q = inject_source_rows(q, inject, self.pnp_chunks)
-                k = inject_source_rows(k, inject, self.pnp_chunks)
                 k_ctx = inject_source_rows(k_ctx, inject, self.pnp_chunks)
             attn = spatial_attention_ffconcat(
                 q, k, v, k_ctx, v_ctx, frames=f, heads=self.heads)
         else:
-            if inject is not None:
-                q = inject_source_rows(q, inject, self.pnp_chunks)
-                k = inject_source_rows(k, inject, self.pnp_chunks)
             attn = multi_head_attention(q, k, v, heads=self.heads)
         x = x + nn.Dense(c, dtype=self.dtype, name="attn1_to_out")(attn)
 

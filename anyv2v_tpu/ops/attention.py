@@ -239,7 +239,7 @@ def spatial_attention_ffconcat(
         and dh % 8 == 0
         and dh <= 128
         and sq >= 256
-        and os.environ.get("ANYV2V_ATTN_BACKEND", "auto") == "auto"
+        and default_backend() == "auto"
     )
     if not use_kernel:
         k = jnp.concatenate(
