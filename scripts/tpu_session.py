@@ -25,6 +25,7 @@ Phases (artifact):
   hlo          -> /tmp/hlo_{backbone}.txt      compiled-HLO dumps
   tpu_gate     -> (pytest)             on-chip kernel equivalence gate
   shard_bb     -> SHARD_BACKBONES.json ConsistI2V/SEINE per-chip shards
+  c2v_shard_trace -> /tmp/xprof_c2v_shard_b1_f2  ConsistI2V F_local=2 anatomy
   bench128     -> BENCH_128F.json      128f long-video bench attempt
 """
 
