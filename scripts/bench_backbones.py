@@ -7,8 +7,11 @@ edit at 16 frames 512^2 — ``configs/consisti2v/ddim_inversion.yaml:35,47``,
 protocol as the i2vgen-xl headline in ``bench.py``.
 
 Default mode measures warm per-step costs on short scans and projects the
-500/50 totals (the scan body is one compiled program; per-step cost is
-step-invariant). BENCH_FULL=1 runs the true step counts.
+500/50 totals. BENCH_FULL=1 runs the true step counts. Projected mode runs
+CONSERVATIVE on the edit leg (~10% measured, round 5): the static-segment
+PnP scan splits into per-pattern programs, and a 10-step scan amortizes
+each segment's dispatch over fewer steps than the real 50-step run
+(measured full: ConsistI2V 134.9 vs 139.2 projected, SEINE 94.9 vs 96.3).
 
 Prints one JSON line per backbone; pass backbone names as argv to subset
 (default: consisti2v seine).
